@@ -1,0 +1,385 @@
+"""ODE integrators under jit.
+
+Design (vs the reference's `torchdiffeq` + `src/early_stop_solver.py`):
+
+- the state pytree is flattened once (`ravel_pytree`) so error norms and the
+  step controller are simple vector ops;
+- fixed-step methods run a `lax.scan` over a statically-known grid;
+- adaptive methods (dopri5 / adaptive_heun / bosh3) come in two executions of
+  the same step logic:
+    * ``differentiable=True`` — a *bounded* `lax.scan` over ``max_steps``
+      iterations with masked no-op steps after completion. Reverse-mode
+      differentiable (the discretize-then-optimize gradient path, the
+      reference's non-adjoint mode);
+    * ``differentiable=False`` — a `lax.while_loop` that exits as soon as the
+      integration lands on t1 (inference / early-stop evaluation path);
+- the `max_nfe` stiffness guard (`src/utils.py:13`,
+  `src/function_laplacian_diffusion.py:65-67`) cannot raise inside a trace:
+  stepping halts once the NFE budget is exhausted and the result carries
+  ``success=False`` for the host to act on;
+- an :class:`Observer` callback runs on every *accepted* step with
+  ``(carry, t, y) -> carry`` — the generalization of the reference's
+  early-stop solver, which re-decodes and evaluates accuracy after each
+  adaptive step (`src/early_stop_solver.py:71-128`).
+
+Tolerance semantics match `src/base_classes.py:57-62` via Config
+(atol = tol_scale·1e-7, rtol = tol_scale·1e-9); the controller itself follows
+the torchdiffeq conventions the reference depends on (RMS error norm,
+safety=0.9, ifactor=10, dfactor=0.2, Hairer initial-step selection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from graphax.ode.tableaus import TABLEAUS, stacked
+
+FIXED_STEP_METHODS = ("euler", "midpoint", "rk4", "rk4_classic")
+ADAPTIVE_METHODS = ("dopri5", "adaptive_heun", "bosh3")
+
+SAFETY, IFACTOR, DFACTOR = 0.9, 10.0, 0.2
+
+
+class Observer(NamedTuple):
+    """Per-accepted-step observation hook. ``update(carry, t, y) -> carry``
+    with ``y`` the *unflattened* state pytree."""
+
+    init: Any
+    update: Callable[[Any, jax.Array, Any], Any]
+
+
+class ODEResult(NamedTuple):
+    y: Any                 # final state (pytree, same structure as y0)
+    nfe: jax.Array         # int32 — number of RHS evaluations
+    steps: jax.Array       # int32 — accepted steps
+    success: jax.Array     # bool — False iff the max_nfe budget was exhausted
+    observer: Any          # final observer carry (None when no observer)
+    t_final: jax.Array     # time actually reached
+
+
+def _rms_norm(x):
+    return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+def _rk_step(flat_func, tableau_name, t, y, h, f0=None):
+    """One explicit RK step on flat state. Returns (y1, f1_or_None, err, nfe).
+
+    ``f0`` may carry the FSAL derivative from the previous accepted step.
+    """
+    a, b, c, e = stacked(TABLEAUS[tableau_name])
+    tab = TABLEAUS[tableau_name]
+    s = len(c)
+    ks = []
+    nfe = 0
+    for i in range(s):
+        if i == 0 and f0 is not None:
+            ki = f0
+        else:
+            yi = y
+            for j in range(i):
+                if a[i, j] != 0.0:
+                    yi = yi + h * a[i, j] * ks[j]
+            ki = flat_func(t + c[i] * h, yi)
+            nfe += 1
+        ks.append(ki)
+    y1 = y
+    for i in range(s):
+        if b[i] != 0.0:
+            y1 = y1 + h * b[i] * ks[i]
+    err = None
+    if e is not None:
+        err = jnp.zeros_like(y)
+        for i in range(s):
+            if e[i] != 0.0:
+                err = err + h * e[i] * ks[i]
+    f1 = ks[-1] if tab.fsal else None
+    return y1, f1, err, nfe
+
+
+def _error_ratio(err, y0, y1, rtol, atol):
+    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    return _rms_norm(err / scale)
+
+
+def _optimal_step(h, ratio, order):
+    """torchdiffeq `_optimal_step_size`: grow by ≤ IFACTOR, shrink by ≥ DFACTOR."""
+    ratio = jnp.maximum(ratio, 1e-10)
+    factor = jnp.clip(SAFETY * ratio ** (-1.0 / order), DFACTOR, IFACTOR)
+    return h * factor
+
+
+def _initial_step(flat_func, t0, y0, f0, order, rtol, atol):
+    """Hairer/Wanner initial step selection (torchdiffeq `_select_initial_step`).
+    Costs one extra RHS evaluation."""
+    scale = atol + jnp.abs(y0) * rtol
+    d0 = _rms_norm(y0 / scale)
+    d1 = _rms_norm(f0 / scale)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = y0 + h0 * f0
+    f1 = flat_func(t0 + h0, y1)
+    d2 = _rms_norm((f1 - f0) / scale) / h0
+    small = jnp.maximum(d1, d2) <= 1e-15
+    h1 = jnp.where(
+        small,
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / (order + 1)),
+    )
+    return jnp.minimum(100.0 * h0, h1)
+
+
+# ----------------------------------------------------------------------
+# Fixed-step path (lax.scan over a static grid)
+# ----------------------------------------------------------------------
+
+def _fixed_grid(t0: float, t1: float, step_size: float):
+    """Step endpoints like torchdiffeq's grid constructor: uniform steps of
+    ``step_size`` from t0, with a final clamp onto t1."""
+    import numpy as np
+
+    t0, t1, dt = float(t0), float(t1), float(step_size)
+    n_full = max(int(np.floor((t1 - t0) / dt + 1e-9)), 0)
+    ts = [t0 + i * dt for i in range(n_full + 1)]
+    if ts[-1] < t1 - 1e-9 * max(1.0, abs(t1)):
+        ts.append(t1)
+    else:
+        ts[-1] = t1
+    return np.asarray(ts, dtype=np.float64)
+
+
+def _odeint_fixed(flat_func, y0_flat, t0, t1, method, step_size, observer,
+                  unravel, dtype):
+    import numpy as np
+
+    ts = _fixed_grid(t0, t1, step_size)
+    starts = jnp.asarray(ts[:-1], dtype)
+    hs = jnp.asarray(np.diff(ts), dtype)
+    n_stages = len(TABLEAUS[method].c)
+
+    def body(carry, t_h):
+        y, obs = carry
+        t, h = t_h
+        y1, _, _, _ = _rk_step(flat_func, method, t, y, h)
+        if observer is not None:
+            obs = observer.update(obs, t + h, unravel(y1))
+        return (y1, obs), None
+
+    obs0 = observer.init if observer is not None else None
+    (y1, obs), _ = jax.lax.scan(body, (y0_flat, obs0), (starts, hs))
+    nfe = jnp.asarray(len(ts[:-1]) * n_stages, jnp.int32)
+    return ODEResult(
+        y=unravel(y1), nfe=nfe,
+        steps=jnp.asarray(len(ts) - 1, jnp.int32),
+        success=jnp.asarray(True),
+        observer=obs, t_final=jnp.asarray(t1, dtype))
+
+
+# ----------------------------------------------------------------------
+# Adaptive path (bounded scan or while_loop over the same step logic)
+# ----------------------------------------------------------------------
+
+class _AdaptState(NamedTuple):
+    t: jax.Array
+    y: jax.Array
+    f: jax.Array          # FSAL derivative at (t, y)
+    h: jax.Array
+    nfe: jax.Array
+    steps: jax.Array      # accepted
+    attempts: jax.Array   # accepted + rejected
+    done: jax.Array
+    obs: Any
+
+
+def _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol, max_nfe,
+                     max_steps, observer, unravel, dtype, differentiable,
+                     first_step=None):
+    tab = TABLEAUS[method]
+    order = tab.order
+    t0a = jnp.asarray(t0, dtype)
+    t1a = jnp.asarray(t1, dtype)
+    span = t1a - t0a
+
+    f0 = flat_func(t0a, y0_flat)
+    if first_step is None:
+        h0 = jax.lax.stop_gradient(
+            _initial_step(flat_func, t0a, y0_flat, f0, order, rtol, atol))
+        nfe0 = jnp.asarray(2, jnp.int32)
+    else:
+        h0 = jnp.asarray(first_step, dtype)
+        nfe0 = jnp.asarray(1, jnp.int32)
+    h0 = jnp.minimum(h0, span)
+
+    obs0 = observer.init if observer is not None else None
+    if observer is not None:
+        obs0 = observer.update(obs0, t0a, unravel(y0_flat))
+
+    nfe_per_step = len(tab.c) - (1 if tab.fsal else 0)
+
+    def step_once(st: _AdaptState) -> _AdaptState:
+        h = jnp.minimum(st.h, t1a - st.t)
+        f_in = st.f if tab.fsal else None
+        y_prop, f_prop, err, _ = _rk_step(flat_func, method, st.t, st.y, h, f_in)
+        # The step-size controller is non-differentiable control flow
+        # (accept/reject + next-h); stop_gradient keeps reverse-mode clean —
+        # gradients flow through the accepted RK updates only, matching the
+        # discretize-then-optimize convention (and torchdiffeq's behavior).
+        ratio = jax.lax.stop_gradient(_error_ratio(err, st.y, y_prop, rtol, atol))
+        accept = ratio <= 1.0
+        h_next = jax.lax.stop_gradient(_optimal_step(h, ratio, order))
+
+        t_new = jnp.where(accept, st.t + h, st.t)
+        y_new = jnp.where(accept, y_prop, st.y)
+        if tab.fsal:
+            f_new = jnp.where(accept, f_prop, st.f)
+        else:
+            f_new = st.f
+        reached = t_new >= t1a - 1e-12 * jnp.maximum(1.0, jnp.abs(t1a))
+        nfe = st.nfe + nfe_per_step
+        obs = st.obs
+        if observer is not None:
+            obs_upd = observer.update(st.obs, t_new, unravel(y_new))
+            obs = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, b, a), st.obs, obs_upd)
+        return _AdaptState(
+            t=t_new, y=y_new, f=f_new, h=h_next, nfe=nfe,
+            steps=st.steps + accept.astype(jnp.int32),
+            attempts=st.attempts + 1,
+            done=reached, obs=obs)
+
+    init = _AdaptState(
+        t=t0a, y=y0_flat, f=f0, h=h0, nfe=nfe0,
+        steps=jnp.asarray(0, jnp.int32), attempts=jnp.asarray(0, jnp.int32),
+        done=span <= 0, obs=obs0)
+
+    def can_continue(st: _AdaptState):
+        return (~st.done) & (st.nfe + nfe_per_step <= max_nfe) & \
+               (st.attempts < max_steps)
+
+    if differentiable:
+        def body(st, _):
+            st_next = step_once(st)
+            keep = can_continue(st)
+            st = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(keep, b, a), st, st_next)
+            return st, None
+
+        final, _ = jax.lax.scan(body, init, None, length=int(max_steps))
+    else:
+        final = jax.lax.while_loop(can_continue, step_once, init)
+
+    return ODEResult(
+        y=unravel(final.y), nfe=final.nfe, steps=final.steps,
+        success=final.done, observer=final.obs, t_final=final.t)
+
+
+# ----------------------------------------------------------------------
+# Public entry points
+# ----------------------------------------------------------------------
+
+def odeint(func, y0, t0, t1, *, method: str = "dopri5", rtol: float = 1e-9,
+           atol: float = 1e-7, step_size: float = 1.0, max_nfe: int = 1000,
+           max_steps: Optional[int] = None, observer: Optional[Observer] = None,
+           differentiable: bool = True, first_step=None) -> ODEResult:
+    """Integrate ``dy/dt = func(t, y)`` from t0 to t1 (t1 > t0).
+
+    ``y0`` is any pytree. ``t0``, ``t1``, ``step_size`` must be Python floats
+    (the step grid / loop bounds are part of the compiled program — the
+    reference's T is likewise a fixed hyperparameter, `best_params.py`).
+    """
+    y0_flat, unravel = ravel_pytree(y0)
+    dtype = y0_flat.dtype
+
+    def flat_func(t, y_flat):
+        dy = func(t, unravel(y_flat))
+        dy_flat, _ = ravel_pytree(dy)
+        return dy_flat
+
+    if method in FIXED_STEP_METHODS:
+        return _odeint_fixed(flat_func, y0_flat, t0, t1, method, step_size,
+                             observer, unravel, dtype)
+    if method not in ADAPTIVE_METHODS:
+        raise ValueError(f"unknown method {method!r}")
+    if max_steps is None:
+        nfe_per_step = len(TABLEAUS[method].c) - (1 if TABLEAUS[method].fsal else 0)
+        max_steps = max(int(max_nfe) // nfe_per_step + 1, 4)
+    return _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol,
+                            max_nfe, max_steps, observer, unravel, dtype,
+                            differentiable, first_step)
+
+
+# ----------------------------------------------------------------------
+# Adjoint (optimize-then-discretize) gradients
+# ----------------------------------------------------------------------
+
+def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
+                   rtol: float = 1e-9, atol: float = 1e-7,
+                   step_size: float = 1.0, max_nfe: int = 1000,
+                   adjoint_method: str = "adaptive_heun",
+                   adjoint_rtol: float = 1e-9, adjoint_atol: float = 1e-7,
+                   adjoint_step_size: float = 1.0) -> ODEResult:
+    """O(1)-memory gradients through the solve via the continuous adjoint.
+
+    Equivalent of the reference's `odeint_adjoint` path selected by
+    ``--adjoint`` (`src/base_classes.py:45-49`, `src/block_constant.py:34-44`),
+    including separate adjoint solver/tolerances (`adjoint_method`,
+    `tol_scale_adjoint`). ``func(params, t, y) -> dy``; gradients flow to
+    ``params`` and ``y0``.
+    """
+    solve_kwargs = dict(method=method, rtol=rtol, atol=atol,
+                        step_size=step_size, max_nfe=max_nfe)
+    adj_kwargs = dict(method=adjoint_method, rtol=adjoint_rtol,
+                      atol=adjoint_atol, step_size=adjoint_step_size,
+                      max_nfe=max_nfe)
+
+    @jax.custom_vjp
+    def _solve(params, y0):
+        res = odeint(lambda t, y: func(params, t, y), y0, t0, t1,
+                     differentiable=False, **solve_kwargs)
+        return res.y, (res.nfe, res.steps, res.success, res.t_final)
+
+    def _solve_fwd(params, y0):
+        out = _solve(params, y0)
+        y1, _ = out
+        return out, (params, y1)
+
+    def _solve_bwd(residuals, cotangents):
+        params, y1 = residuals
+        g_y1, _ = cotangents  # aux outputs are integer/bool — no gradients
+
+        y1_flat, unravel_y = ravel_pytree(y1)
+        g_flat, _ = ravel_pytree(g_y1)
+        p_flat, unravel_p = ravel_pytree(params)
+        zero_p = jnp.zeros_like(p_flat)
+
+        # Augmented state z(s) = (y(t), a_y(t), a_p(t)) with s = t1 - t.
+        def aug_dynamics(s, z):
+            y_flat, a_flat, ap_flat = z
+            t = t1 - s
+            y = unravel_y(y_flat)
+            a = unravel_y(a_flat)
+
+            def f_of(y_, p_):
+                return func(p_, t, y_)
+
+            f_val, vjp_fn = jax.vjp(f_of, y, unravel_p(p_flat))
+            vy, vp = vjp_fn(a)
+            f_flat, _ = ravel_pytree(f_val)
+            vy_flat, _ = ravel_pytree(vy)
+            vp_flat, _ = ravel_pytree(vp)
+            # dy/ds = -f ;  da_y/ds = +aᵀ∂f/∂y ;  da_p/ds = +aᵀ∂f/∂p
+            return (-f_flat, vy_flat, vp_flat)
+
+        z0 = (y1_flat, g_flat, zero_p)
+        res = odeint(aug_dynamics, z0, 0.0, float(t1 - t0),
+                     differentiable=False, **adj_kwargs)
+        _, a0_flat, ap_flat = res.y
+        return unravel_p(ap_flat), unravel_y(a0_flat)
+
+    _solve.defvjp(_solve_fwd, _solve_bwd)
+    y1, (nfe, steps, success, t_final) = _solve(params, y0)
+    return ODEResult(y=y1, nfe=nfe, steps=steps, success=success,
+                     observer=None, t_final=t_final)

@@ -1,0 +1,161 @@
+"""Sparse-layer tests pinning the reference's normalization invariants
+(`test/test_utils.py:27-77`): rw-normalized adjacency equals sklearn-style L1
+row/col normalization for several self-loop weights, on the same toy 3-node
+graph the reference uses; segment softmax/squareplus sum to 1 per segment;
+SpMM matches dense matmul; padding never leaks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphax.sparse import (
+    Graph, build, segment_softmax, squareplus_norm, spmm, spmm_multihead,
+    sddmm_dot, rw_norm_weights, gcn_norm_weights,
+)
+
+# The reference's recurring toy fixture (`test/test_attention.py:26-31`):
+EDGE = np.array([[0, 2, 2, 1], [1, 0, 1, 2]])
+X = np.array([[1., 2.], [3., 2.], [4., 5.]])
+N = 3
+
+
+def dense_from(row, col, w, n=N):
+    d = np.zeros((n, n))
+    np.add.at(d, (np.asarray(row), np.asarray(col)), np.asarray(w))
+    return d
+
+
+@pytest.mark.parametrize("fill", [0.0, 0.3, 1.0, 3.2])
+@pytest.mark.parametrize("norm_dim", [0, 1])
+def test_rw_norm_matches_l1_normalize(fill, norm_dim):
+    """`get_rw_adj` oracle (`test/test_utils.py:27-77`): after adding
+    self-loops of weight `fill`, the adjacency L1-normalized along norm_dim
+    equals the rw weights."""
+    row, col, w = build.add_self_loops(EDGE[0], EDGE[1], None, fill, N) \
+        if fill else build.coalesce(EDGE[0], EDGE[1], None, N)
+    g = Graph.from_edges(row, col, N, w, edge_buffer_size=16)
+    rw = rw_norm_weights(g.row, g.col, g.edge_weight, N, norm_dim=norm_dim,
+                         mask=g.edge_mask)
+    got = dense_from(g.row, g.col, rw)
+
+    raw = dense_from(row, col, w)
+    axis = 1 - norm_dim  # norm_dim=0 → row degree normalizes rows? no: see below
+    # reference: norm_dim=0 divides by degree over `row` index → each row of A
+    # sums to 1; norm_dim=1 divides by degree over `col` → columns sum to 1.
+    sums = raw.sum(axis=1 - norm_dim, keepdims=True) if norm_dim == 0 \
+        else raw.sum(axis=0, keepdims=True)
+    expected = np.divide(raw, np.where(sums == 0, 1, sums))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_gcn_norm_symmetric():
+    row, col, w = build.add_self_loops(EDGE[0], EDGE[1], None, 1.0, N)
+    g = Graph.from_edges(row, col, N, w, edge_buffer_size=8)
+    gw = gcn_norm_weights(g.row, g.col, g.edge_weight, N, mask=g.edge_mask)
+    got = dense_from(g.row, g.col, gw)
+    raw = dense_from(row, col, w)
+    deg = raw.sum(axis=0)  # reference degree over col (`src/utils.py:191`)
+    expected = raw / np.sqrt(deg)[:, None] / np.sqrt(deg)[None, :]
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_spmm_matches_dense():
+    g = build.build_graph(EDGE[0], EDGE[1], N, self_loop_weight=1.0,
+                          pad_multiple=8)
+    y = spmm(g.row, g.col, g.edge_weight, jnp.asarray(X), N)
+    expected = np.asarray(g.to_dense()) @ X
+    np.testing.assert_allclose(y, expected, rtol=1e-6)
+
+
+def test_spmm_padding_is_inert():
+    g1 = Graph.from_edges(EDGE[0], EDGE[1], N)
+    g2 = Graph.from_edges(EDGE[0], EDGE[1], N, edge_buffer_size=64)
+    y1 = spmm(g1.row, g1.col, g1.edge_weight, jnp.asarray(X), N)
+    y2 = spmm(g2.row, g2.col, g2.edge_weight, jnp.asarray(X), N)
+    np.testing.assert_allclose(y1, y2, rtol=1e-6)
+
+
+def test_segment_softmax_sums_to_one():
+    g = Graph.from_edges(EDGE[0], EDGE[1], N, edge_buffer_size=16)
+    scores = jnp.asarray(np.random.RandomState(0).randn(16, 4), jnp.float32)
+    att = segment_softmax(scores, g.row, N, mask=g.edge_mask)
+    # per-segment sums over real edges == 1 for segments that have edges
+    sums = jax.ops.segment_sum(att, g.row, num_segments=N)
+    for seg in np.unique(EDGE[0]):
+        np.testing.assert_allclose(sums[seg], np.ones(4), rtol=1e-5)
+    # padded edges got zero probability
+    assert float(jnp.abs(att[4:]).max()) == 0.0
+    # all values in (0, 1]
+    real = att[:4]
+    assert float(real.min()) > 0.0 and float(real.max()) <= 1.0 + 1e-6
+
+
+def test_segment_softmax_uniform_on_equal_scores():
+    # node 2 has two outgoing edges (rows [2,2]) → 0.5 each
+    g = Graph.from_edges(EDGE[0], EDGE[1], N)
+    att = segment_softmax(jnp.ones((4, 1)), g.row, N, mask=g.edge_mask)
+    np.testing.assert_allclose(att[1:3], 0.5 * np.ones((2, 1)), rtol=1e-6)
+
+
+def test_squareplus_sums_to_one():
+    g = Graph.from_edges(EDGE[0], EDGE[1], N, edge_buffer_size=8)
+    scores = jnp.asarray(np.random.RandomState(1).randn(8, 2), jnp.float32)
+    att = squareplus_norm(scores, g.row, N, mask=g.edge_mask)
+    sums = jax.ops.segment_sum(att, g.row, num_segments=N)
+    for seg in np.unique(EDGE[0]):
+        np.testing.assert_allclose(sums[seg], np.ones(2), rtol=1e-5)
+
+
+def test_sddmm_dot():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(N, 2, 3), jnp.float32)
+    k = jnp.asarray(rng.randn(N, 2, 3), jnp.float32)
+    row, col = jnp.asarray(EDGE[0]), jnp.asarray(EDGE[1])
+    s = sddmm_dot(row, col, q, k)
+    for e in range(4):
+        for h in range(2):
+            np.testing.assert_allclose(
+                s[e, h], np.dot(q[EDGE[0][e], h], k[EDGE[1][e], h]), rtol=1e-5)
+
+
+def test_multihead_spmm_vs_dense():
+    rng = np.random.RandomState(3)
+    g = Graph.from_edges(EDGE[0], EDGE[1], N, edge_buffer_size=8)
+    att = jnp.asarray(rng.rand(8, 2), jnp.float32) * g.edge_mask[:, None]
+    v = jnp.asarray(rng.randn(N, 2, 3), jnp.float32)
+    out = spmm_multihead(g.row, g.col, att, v, N)
+    for h in range(2):
+        dense = dense_from(np.asarray(g.row), np.asarray(g.col),
+                           np.asarray(att[:, h]))
+        np.testing.assert_allclose(out[:, h], dense @ np.asarray(v[:, h]),
+                                   rtol=1e-5)
+
+
+def test_build_undirected_and_self_loops():
+    row, col = build.to_undirected(EDGE[0], EDGE[1], N)
+    d = dense_from(row, col, np.ones(len(row)))
+    np.testing.assert_allclose(d, d.T)
+    r2, c2, w2 = build.add_self_loops(row, col, None, 0.7, N)
+    d2 = dense_from(r2, c2, w2)
+    np.testing.assert_allclose(np.diag(d2), 0.7 * np.ones(N))
+
+
+def test_add_self_loops_accumulates_existing():
+    # reference semantics: existing self-loop weight w becomes w + fill
+    row = np.array([0, 0]); col = np.array([0, 1])
+    r, c, w = build.add_self_loops(row, col, np.array([2.0, 1.0]), 1.0, 2)
+    d = dense_from(r, c, w, 2)
+    np.testing.assert_allclose(d, np.array([[3.0, 1.0], [0.0, 1.0]]))
+
+
+def test_vmap_batched_spmm():
+    """The reference's [B,2,E] batching maps to vmap over Graph arrays."""
+    B = 3
+    rng = np.random.RandomState(4)
+    xs = jnp.asarray(rng.randn(B, N, 2), jnp.float32)
+    g = Graph.from_edges(EDGE[0], EDGE[1], N)
+    out = jax.vmap(lambda x: spmm(g.row, g.col, g.edge_weight, x, N))(xs)
+    dense = dense_from(EDGE[0], EDGE[1], np.ones(4))
+    for b in range(B):
+        np.testing.assert_allclose(out[b], dense @ np.asarray(xs[b]), rtol=1e-5)
