@@ -1,0 +1,47 @@
+"""Attention block ("linear" GRAND): attention computed ONCE per forward from
+x(0) outside the solver, pinned as the diffusion operator —
+`AttODEblock` (`src/block_transformer_attention.py`).
+
+The block owns its own transformer attention layer (separate params from any
+attention inside the RHS), exactly as the reference constructs a second
+`SpGraphTransAttentionLayer` at block level (`:22-24`). The pinned value is
+the head-mean (the laplacian RHS means over heads per NFE, `:44-48` — same
+number, computed once here).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from graphax.blocks.common import BlockOutput, integrate, normalize_graph
+from graphax.blocks.constant import ODEBlock
+from graphax.functions import (
+    get_function, transformer_attention_apply, transformer_attention_init,
+)
+from graphax.functions.common import FuncState
+
+
+def make_attention_block(cfg, in_dim: int) -> ODEBlock:
+    func = get_function(cfg, in_dim)
+
+    def init(key):
+        k1, k2 = jax.random.split(key)
+        return {"func": func.init(k1),
+                "att_layer": transformer_attention_init(k2, cfg, in_dim)}
+
+    def attention_weights(params, graph, x):
+        att, _ = transformer_attention_apply(params["att_layer"], cfg, graph, x)
+        return att
+
+    def forward(params, graph, x, *, train: bool, y=None, t1=None,
+                observer=None, max_steps=None) -> BlockOutput:
+        g = normalize_graph(cfg, graph)
+        att = attention_weights(params, g, x)        # [E, H]
+        fstate = FuncState(graph=g, x0=jax.lax.stop_gradient(x),
+                           attention=att.mean(axis=1), y=y)
+        return integrate(cfg, func, params["func"], fstate, x, train=train,
+                         t1=t1, observer=observer, max_steps=max_steps)
+
+    # expose for tests / rewiring (`get_attention_weights` in the reference)
+    forward.attention_weights = attention_weights
+    return ODEBlock(init=init, forward=forward, func=func)

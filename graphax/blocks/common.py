@@ -1,0 +1,119 @@
+"""Shared block machinery: per-forward graph normalization and the
+solver-invocation harness (regularizer threading, adjoint switch, observer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graphax.functions.common import DiffusionFunction, FuncState
+from graphax.functions.regularizers import (
+    init_reg_states, make_regularized_rhs,
+)
+from graphax.ode import ODEResult, Observer, odeint, odeint_adjoint
+from graphax.sparse.graph import Graph
+from graphax.sparse.ops import gcn_norm_weights, rw_norm_weights
+
+
+class BlockOutput(NamedTuple):
+    z: jax.Array
+    reg_states: Tuple[jax.Array, ...]
+    result: ODEResult
+
+
+def normalize_graph(cfg, graph: Graph, double_self_loops: bool = True) -> Graph:
+    """Per-forward weight normalization — twin of `reset_graph_data`
+    (`src/base_classes.py:70-90`).
+
+    Requires the graph topology to already contain self-loop edges with
+    weight `cfg.self_loop_weight` (added host-side by `build.build_graph`).
+    The fork then adds `self_loop_weight` to the diagonal AGAIN after
+    normalizing (`:84-86` calls `add_remaining_self_loops` post-norm) — that
+    is the runnable behavior, reproduced here when ``double_self_loops``;
+    pass False for the textbook normalized operator.
+    """
+    mask = graph.edge_mask
+    if cfg.data_norm == "rw":
+        w = rw_norm_weights(graph.row, graph.col, graph.edge_weight,
+                            graph.num_nodes, norm_dim=1, mask=mask)
+    else:
+        w = gcn_norm_weights(graph.row, graph.col, graph.edge_weight,
+                             graph.num_nodes, mask=mask)
+    if double_self_loops and cfg.self_loop_weight > 0:
+        w = w + jnp.where(mask & (graph.row == graph.col),
+                          jnp.asarray(cfg.self_loop_weight, w.dtype), 0.0)
+    return graph.with_weights(w)
+
+
+def _split_diff_state(fstate: FuncState):
+    """Separate the differentiable leaves of FuncState (x0, attention, edge
+    weights, second modality) from the static topology, for the adjoint path
+    (integer index arrays must not enter the adjoint state)."""
+    diff = {
+        "x0": fstate.x0,
+        "attention": fstate.attention,
+        "edge_weight": fstate.graph.edge_weight,
+        "y": fstate.y,
+    }
+
+    def rebuild(d):
+        return dataclasses.replace(
+            fstate,
+            x0=d["x0"], attention=d["attention"], y=d["y"],
+            graph=fstate.graph.with_weights(d["edge_weight"]))
+
+    return diff, rebuild
+
+
+def integrate(cfg, func: DiffusionFunction, params, fstate: FuncState,
+              x: jax.Array, *, train: bool, t1: Optional[float] = None,
+              observer: Optional[Observer] = None, rhs_override=None,
+              max_steps: Optional[int] = None) -> BlockOutput:
+    """Run the solve the way the reference blocks invoke torchdiffeq
+    (`src/block_constant.py:27-58`): regularizer state threading when
+    training with nreg>0, the adjoint integrator when ``cfg.adjoint and
+    train``, the plain one otherwise. ``observer`` is only meaningful on the
+    non-adjoint path (eval-time early stopping)."""
+    t_end = float(cfg.time if t1 is None else t1)
+    rhs = rhs_override if rhs_override is not None else func.rhs
+    reg = cfg.reg_coeffs() if train else ()
+    reg_names = tuple(n for n, _ in reg)
+
+    if reg_names:
+        aug_rhs = make_regularized_rhs(rhs, reg_names)
+        state0: Any = (x, init_reg_states(fstate.graph.num_nodes, reg_names,
+                                          x.dtype))
+        call = aug_rhs
+    else:
+        state0 = x
+        call = rhs
+
+    common = dict(method=cfg.method, rtol=cfg.rtol, atol=cfg.atol,
+                  step_size=cfg.step_size, max_nfe=cfg.max_nfe,
+                  max_steps=max_steps)
+
+    if cfg.adjoint and train:
+        diff, rebuild = _split_diff_state(fstate)
+
+        def f_adj(p, t, y):
+            return call(p["params"], rebuild(p["fstate"]), t, y)
+
+        res = odeint_adjoint(
+            f_adj, {"params": params, "fstate": diff}, state0, 0.0, t_end,
+            adjoint_method=cfg.adjoint_method,
+            adjoint_rtol=cfg.rtol_adjoint, adjoint_atol=cfg.atol_adjoint,
+            adjoint_step_size=cfg.adjoint_step_size, **common)
+    else:
+        res = odeint(lambda t, y: call(params, fstate, t, y), state0, 0.0,
+                     t_end, observer=observer, differentiable=train,
+                     **common)
+
+    if reg_names:
+        z, reg_states = res.y
+    else:
+        z, reg_states = res.y, ()
+    return BlockOutput(z=z, reg_states=reg_states, result=res)

@@ -1,0 +1,36 @@
+"""GRAND-l: linear graph diffusion RHS.
+
+``f = α·(A x − x) [+ β·x0]`` where A is the normalized adjacency with
+per-edge values that are either the graph's rw/gcn weights or attention
+pinned by the enclosing block (`src/function_laplacian_diffusion.py:39-77`).
+The reference densifies A to ``[B, N, N]`` per evaluation; here it is one
+gather + segment-sum SpMM (Pallas fused kernel on TPU via graphax.kernels).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from graphax.functions.common import (
+    DiffusionFunction, FuncState, apply_alpha_beta, cross_modal_init,
+    cross_modal_apply, init_alpha_beta,
+)
+from graphax.sparse.ops import spmm
+
+
+def make_laplacian(cfg, in_dim: int) -> DiffusionFunction:
+    def init(key):
+        params = init_alpha_beta(cfg)
+        if cfg.multi_modal:
+            params["cross"] = cross_modal_init(key, in_dim,
+                                               cfg.second_modality_dim)
+        return params
+
+    def rhs(params, fstate: FuncState, t, x):
+        if cfg.multi_modal and fstate.y is not None:
+            x = cross_modal_apply(params["cross"], x, fstate.y)
+        g = fstate.graph
+        ax = spmm(g.row, g.col, fstate.edge_values(), x, g.num_nodes)
+        return apply_alpha_beta(params, cfg, ax, x, fstate.x0)
+
+    return DiffusionFunction(init=init, rhs=rhs, attention_fn=None)

@@ -1,0 +1,187 @@
+"""GRAND-nl: sparse transformer attention diffusion.
+
+Functional twin of `SpGraphTransAttentionLayer` + `ODEFuncTransformerAtt`
+(`src/function_transformer_attention.py`): Q/K/V projections into
+``attention_dim`` split over ``heads``, per-edge SDDMM scores with four score
+types (scaled_dot / cosine_sim / pearson / exp_kernel), Beltrami feature/
+positional split with multiplied Gaussian kernels, optional pre-softmax edge
+reweighting, segment softmax or squareplus normalization over the
+``attention_norm_idx`` endpoint, then mean-head SpMM (or per-head SpMM +
+Wout projection under ``mix_features``).
+
+Note (SURVEY §8): the fork's scaled_dot collapses to an O(E²) matmul-sum —
+an acknowledged bug vs upstream; the per-edge dot-product intent is
+implemented, pinned by the uniform-attention-at-init test.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graphax.functions.common import (
+    DiffusionFunction, FuncState, apply_alpha_beta, cross_modal_init,
+    cross_modal_apply, init_alpha_beta,
+)
+from graphax.sparse.ops import (
+    attention_spmm, segment_softmax, spmm_multihead, squareplus_norm,
+)
+from graphax.utils.params import linear_apply, linear_init
+
+COS_EPS = 1e-5  # torch.nn.CosineSimilarity eps (`:251`)
+
+
+# ----------------------------------------------------------------------
+# Attention layer
+# ----------------------------------------------------------------------
+
+def transformer_attention_init(key, cfg, in_dim: int) -> dict:
+    """Weights constant 1e-5 (Q≈K ⇒ uniform attention at init, `:153-157`),
+    torch-default biases."""
+    keys = jax.random.split(key, 16)
+    att_dim = cfg.attention_dim
+    p: dict = {}
+    if cfg.beltrami and cfg.attention_type == "exp_kernel":
+        feat_in = in_dim - cfg.pos_enc_hidden_dim
+        pos_in = cfg.pos_enc_hidden_dim
+        for i, name in enumerate(("Qx", "Kx", "Vx")):
+            p[name] = linear_init(keys[i], feat_in, att_dim, "const", 1e-5)
+        for i, name in enumerate(("Qp", "Kp", "Vp")):
+            p[name] = linear_init(keys[3 + i], pos_in, att_dim, "const", 1e-5)
+        p["output_var_x"] = jnp.ones(())
+        p["lengthscale_x"] = jnp.ones(())
+        p["output_var_p"] = jnp.ones(())
+        p["lengthscale_p"] = jnp.ones(())
+        if cfg.multi_modal:
+            p["cross"] = cross_modal_init(keys[6], feat_in,
+                                          cfg.second_modality_dim)
+            kq, kk, kv = jax.random.split(keys[7], 3)
+            p["cross_p"] = {
+                "Q2": linear_init(kq, pos_in, pos_in, "const", 1e-5),
+                "K2": linear_init(kk, cfg.second_modality_dim, pos_in, "const", 1e-5),
+                "V2": linear_init(kv, cfg.second_modality_dim, pos_in, "const", 1e-5),
+            }
+    else:
+        for i, name in enumerate(("Q", "K", "V")):
+            p[name] = linear_init(keys[i], in_dim, att_dim, "const", 1e-5)
+        if cfg.attention_type == "exp_kernel":
+            p["output_var"] = jnp.ones(())
+            p["lengthscale"] = jnp.ones(())
+        if cfg.multi_modal:
+            p["cross"] = cross_modal_init(keys[6], in_dim,
+                                          cfg.second_modality_dim)
+    p["Wout"] = linear_init(keys[8], att_dim // cfg.heads, in_dim, "const", 1e-5)
+    return p
+
+
+def _split_heads(z, heads: int):
+    """[N, att_dim] → [N, H, Dh] — head-major split, matching the reference's
+    view(n, -1, h, d_k) factorization (`:230-238`)."""
+    n, att_dim = z.shape
+    return z.reshape(n, heads, att_dim // heads)
+
+
+def _edge_scores(cfg, q_src, k_dst, p):
+    """Per-edge per-head scores from gathered q[row], k[col]: ``[E, H, Dh] →
+    [E, H]`` (`:246-259`)."""
+    d_k = q_src.shape[-1]
+    if cfg.attention_type == "scaled_dot":
+        return jnp.einsum("ehd,ehd->eh", q_src,
+                          k_dst / jnp.sqrt(jnp.asarray(d_k, k_dst.dtype)))
+    if cfg.attention_type == "cosine_sim":
+        return _cosine(q_src, k_dst)
+    if cfg.attention_type == "pearson":
+        q_c = q_src - q_src.mean(axis=-1, keepdims=True)
+        k_c = k_dst - k_dst.mean(axis=-1, keepdims=True)
+        return _cosine(q_c, k_c)
+    if cfg.attention_type == "exp_kernel":
+        sq = jnp.sum((q_src - k_dst) ** 2, axis=-1)
+        return p["output_var"] ** 2 * jnp.exp(-sq / (2 * p["lengthscale"] ** 2))
+    raise ValueError(f"unknown attention_type {cfg.attention_type!r}")
+
+
+def _cosine(a, b):
+    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), COS_EPS)
+    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), COS_EPS)
+    return jnp.sum(a * b, axis=-1) / (na * nb)
+
+
+def transformer_attention_apply(params, cfg, graph, x, y=None):
+    """Returns (attention ``[E, H]`` normalized over real edges, aux) where
+    aux = (v ``[N, H, Dh]`` or None, raw scores ``[E, H]``)."""
+    heads = cfg.heads
+    row, col = graph.row, graph.col
+
+    if cfg.beltrami and cfg.attention_type == "exp_kernel":
+        # State layout [features | positional | labels] (`:164-167`).
+        fh = cfg.feat_hidden_dim
+        ph = cfg.pos_enc_hidden_dim
+        pos = x[:, fh:fh + ph]
+        feat = jnp.concatenate([x[:, :fh], x[:, fh + ph:]], axis=1)
+        if cfg.multi_modal and y is not None:
+            feat = cross_modal_apply(params["cross"], feat, y)
+            pos = cross_modal_apply(params["cross_p"], pos, y)
+        qx = _split_heads(linear_apply(params["Qx"], feat), heads)
+        kx = _split_heads(linear_apply(params["Kx"], feat), heads)
+        qp = _split_heads(linear_apply(params["Qp"], pos), heads)
+        kp = _split_heads(linear_apply(params["Kp"], pos), heads)
+        sq_x = jnp.sum((qx[row] - kx[col]) ** 2, axis=-1)
+        sq_p = jnp.sum((qp[row] - kp[col]) ** 2, axis=-1)
+        prods = (params["output_var_x"] ** 2
+                 * jnp.exp(-sq_x / (2 * params["lengthscale_x"] ** 2))
+                 * params["output_var_p"] ** 2
+                 * jnp.exp(-sq_p / (2 * params["lengthscale_p"] ** 2)))
+        v = None
+    else:
+        if cfg.multi_modal and y is not None:
+            x = cross_modal_apply(params["cross"], x, y)
+        q = _split_heads(linear_apply(params["Q"], x), heads)
+        k = _split_heads(linear_apply(params["K"], x), heads)
+        v = _split_heads(linear_apply(params["V"], x), heads)
+        prods = _edge_scores(cfg, q[row], k[col], params)
+
+    if cfg.reweight_attention:
+        prods = prods * graph.edge_weight[:, None]
+
+    norm_index = row if cfg.attention_norm_idx == 0 else col
+    mask = graph.edge_mask
+    if cfg.square_plus:
+        attention = squareplus_norm(prods, norm_index, graph.num_nodes, mask)
+    else:
+        attention = segment_softmax(prods, norm_index, graph.num_nodes, mask)
+    return attention, (v, prods)
+
+
+# ----------------------------------------------------------------------
+# RHS
+# ----------------------------------------------------------------------
+
+def multiply_attention(params, cfg, graph, x, attention, v):
+    """`ODEFuncTransformerAtt.multiply_attention` (`:20-42`)."""
+    if cfg.mix_features:
+        vx = spmm_multihead(graph.row, graph.col,
+                            attention * graph.edge_mask[:, None], v,
+                            graph.num_nodes).mean(axis=1)      # [N, Dh]
+        return linear_apply(params["Wout"], vx)
+    return attention_spmm(graph.row, graph.col, attention, x,
+                          graph.num_nodes, mask=graph.edge_mask)
+
+
+def make_transformer(cfg, in_dim: int) -> DiffusionFunction:
+    def init(key):
+        k1, k2 = jax.random.split(key)
+        params = init_alpha_beta(cfg)
+        params["att"] = transformer_attention_init(k1, cfg, in_dim)
+        return params
+
+    def attention_fn(params, fstate: FuncState, x, y=None):
+        return transformer_attention_apply(params["att"], cfg, fstate.graph,
+                                           x, y)
+
+    def rhs(params, fstate: FuncState, t, x):
+        attention, (v, _) = attention_fn(params, fstate, x, fstate.y)
+        ax = multiply_attention(params["att"], cfg, fstate.graph, x,
+                                attention, v)
+        return apply_alpha_beta(params, cfg, ax, x, fstate.x0)
+
+    return DiffusionFunction(init=init, rhs=rhs, attention_fn=attention_fn)

@@ -318,6 +318,7 @@ def odeint(func, y0, t0, t1, *, method: str = "dopri5", rtol: float = 1e-9,
 def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
                    rtol: float = 1e-9, atol: float = 1e-7,
                    step_size: float = 1.0, max_nfe: int = 1000,
+                   max_steps=None,
                    adjoint_method: str = "adaptive_heun",
                    adjoint_rtol: float = 1e-9, adjoint_atol: float = 1e-7,
                    adjoint_step_size: float = 1.0) -> ODEResult:
@@ -330,7 +331,8 @@ def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
     ``params`` and ``y0``.
     """
     solve_kwargs = dict(method=method, rtol=rtol, atol=atol,
-                        step_size=step_size, max_nfe=max_nfe)
+                        step_size=step_size, max_nfe=max_nfe,
+                        max_steps=max_steps)
     adj_kwargs = dict(method=adjoint_method, rtol=adjoint_rtol,
                       atol=adjoint_atol, step_size=adjoint_step_size,
                       max_nfe=max_nfe)
