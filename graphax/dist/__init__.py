@@ -1,0 +1,30 @@
+"""graphax.dist — mesh/sharding, graph partitioning, halo exchange.
+
+The reference's only parallelism is single-process `nn.DataParallel`
+(SURVEY §2.8); this layer is new capability designed for TPU pods:
+
+- :mod:`mesh` — `jax.sharding.Mesh` construction over {data, graph} axes;
+  single chip degrades to a trivial mesh.
+- :mod:`partition` — host-side edge partitioner: contiguous node blocks,
+  owner-computes edge assignment (edges live with the shard that owns their
+  aggregation row), per-peer static halo index tables.
+- :mod:`sharded` — `shard_map` SpMM/diffusion with two interchangeable
+  communication strategies: full `all_gather` of node features (baseline,
+  bandwidth N·D) and ragged-static halo `all_to_all` (bandwidth = boundary
+  size); plus psum-reduced metrics so early-stop works across shards.
+- :mod:`data_parallel` — replicated-model batch parallelism with psum
+  gradient reduction (the multimodal workload).
+"""
+
+from graphax.dist.mesh import make_mesh, local_mesh
+from graphax.dist.partition import EdgePartition, partition_graph
+from graphax.dist.sharded import (
+    sharded_spmm_allgather, sharded_spmm_halo, make_sharded_diffusion_step,
+)
+from graphax.dist.data_parallel import make_dp_train_step
+
+__all__ = [
+    "make_mesh", "local_mesh", "EdgePartition", "partition_graph",
+    "sharded_spmm_allgather", "sharded_spmm_halo",
+    "make_sharded_diffusion_step", "make_dp_train_step",
+]

@@ -1,0 +1,141 @@
+"""Host-side graph partitioner for multi-chip diffusion.
+
+Layout (SURVEY §2.8): contiguous node blocks of size ``Nb = ceil(N/P)`` per
+shard; owner-computes edge assignment — every edge lives on the shard that
+owns its aggregation target ``row``, so segment reductions (SpMM rows,
+attention softmax over the row index) are shard-local. The only
+communication a diffusion step needs is the *halo*: the set of non-local
+``col`` nodes each shard gathers from. All tables are static-shape
+(padded to the max over shards/pairs) so the exchange compiles to one
+`all_to_all` per RHS evaluation inside the solver loop.
+
+Every array is stacked over shards on axis 0 → shard it over the mesh's
+'graph' axis and `shard_map` peels off the per-device slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from graphax.sparse.graph import Graph
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgePartition:
+    """Static partition tables (host NumPy; shipped to device once).
+
+    Shapes: P shards, Nb block size, Es padded edges/shard, H padded halo
+    slots/shard, Hp padded halo slots per (src,dst) shard pair.
+    """
+
+    num_shards: int
+    num_nodes: int          # global N (unpadded)
+    block_size: int         # Nb; padded N = P · Nb
+    local_row: np.ndarray   # [P, Es] int32 in [0, Nb)
+    local_col: np.ndarray   # [P, Es] int32 in [0, Nb + H) — extended coords
+    edge_weight: np.ndarray # [P, Es] float32
+    edge_mask: np.ndarray   # [P, Es] bool
+    send_idx: np.ndarray    # [P, P, Hp] int32 — device t sends x[send_idx[t, s]] to s
+    halo_gather: np.ndarray # [P, H] int32 — halo slot h ← flat recv index
+    halo_size: int          # H
+    pair_size: int          # Hp
+    node_mask: np.ndarray   # [P, Nb] bool — real (non-pad) nodes
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_shards * self.block_size
+
+
+def partition_graph(graph: Graph, num_shards: int,
+                    pad_multiple: int = 8) -> EdgePartition:
+    row = np.asarray(graph.row)
+    col = np.asarray(graph.col)
+    w = np.asarray(graph.edge_weight)
+    mask = np.asarray(graph.edge_mask)
+    row, col, w = row[mask], col[mask], w[mask]
+    n, p = graph.num_nodes, num_shards
+    nb = _round_up((n + p - 1) // p, pad_multiple)
+
+    owner = row // nb
+    # per-shard edge lists
+    per_shard = [np.where(owner == s)[0] for s in range(p)]
+    es = _round_up(max((len(ix) for ix in per_shard), default=1), pad_multiple)
+
+    # halo requests: for each shard, remote cols grouped by owning shard
+    requests = []   # requests[s][t] = sorted unique global node ids
+    for s in range(p):
+        cols_s = col[per_shard[s]]
+        remote = cols_s[(cols_s < s * nb) | (cols_s >= (s + 1) * nb)]
+        uniq = np.unique(remote)
+        requests.append([uniq[(uniq // nb) == t] for t in range(p)])
+
+    hp = _round_up(max((len(r) for req in requests for r in req),
+                       default=1), pad_multiple)
+    h = _round_up(max((sum(len(r) for r in req) for req in requests),
+                      default=1), pad_multiple)
+
+    local_row = np.zeros((p, es), np.int32)
+    local_col = np.zeros((p, es), np.int32)
+    edge_weight = np.zeros((p, es), np.float32)
+    edge_mask = np.zeros((p, es), bool)
+    send_idx = np.zeros((p, p, hp), np.int32)
+    halo_gather = np.zeros((p, h), np.int32)
+    node_mask = np.zeros((p, nb), bool)
+
+    for s in range(p):
+        lo = s * nb
+        node_mask[s, :max(min(n - lo, nb), 0)] = True
+        # halo coordinate map: global id -> extended local index
+        halo_pos = {}
+        slot = 0
+        for t in range(p):
+            req = requests[s][t]
+            # device t's chunk for s: local indices of the nodes s requested
+            send_idx[t, s, :len(req)] = (req - t * nb).astype(np.int32)
+            for k, g in enumerate(req):
+                halo_pos[int(g)] = nb + slot
+                halo_gather[s, slot] = t * hp + k
+                slot += 1
+        ix = per_shard[s]
+        e = len(ix)
+        local_row[s, :e] = (row[ix] - lo).astype(np.int32)
+        cols_s = col[ix]
+        local = (cols_s >= lo) & (cols_s < lo + nb)
+        lc = np.empty(e, np.int32)
+        lc[local] = (cols_s[local] - lo).astype(np.int32)
+        lc[~local] = np.asarray([halo_pos[int(g)] for g in cols_s[~local]],
+                                np.int32)
+        local_col[s, :e] = lc
+        edge_weight[s, :e] = w[ix]
+        edge_mask[s, :e] = True
+
+    return EdgePartition(
+        num_shards=p, num_nodes=n, block_size=nb, local_row=local_row,
+        local_col=local_col, edge_weight=edge_weight, edge_mask=edge_mask,
+        send_idx=send_idx, halo_gather=halo_gather, halo_size=h,
+        pair_size=hp, node_mask=node_mask)
+
+
+def shard_nodes(x: np.ndarray, part: EdgePartition) -> np.ndarray:
+    """[N, D] node array → [P, Nb, D] stacked shards (zero-padded)."""
+    n, d = x.shape
+    out = np.zeros((part.num_shards, part.block_size, d), x.dtype)
+    for s in range(part.num_shards):
+        lo = s * part.block_size
+        hi = min(lo + part.block_size, n)
+        if hi > lo:
+            out[s, : hi - lo] = x[lo:hi]
+    return out
+
+
+def unshard_nodes(xs: np.ndarray, part: EdgePartition) -> np.ndarray:
+    """[P, Nb, D] → [N, D]."""
+    p, nb, d = xs.shape
+    return xs.reshape(p * nb, d)[: part.num_nodes]

@@ -1,0 +1,146 @@
+"""shard_map'd diffusion compute: halo exchange + local SpMM / attention.
+
+Two interchangeable communication strategies for gathering the remote
+``col`` features every RHS evaluation needs:
+
+- ``sharded_spmm_allgather`` — `all_gather` the full node state (bandwidth
+  N·D per NFE). Simple, right for small N or very dense cuts.
+- ``sharded_spmm_halo`` — one `all_to_all` moving only boundary nodes
+  (bandwidth = halo·D per NFE). This is the context-parallel analog from
+  SURVEY §5.7: the "KV exchange" is boundary node features per step.
+
+Everything runs inside `shard_map` over the mesh's 'graph' axis with
+static-shape tables from :func:`graphax.dist.partition.partition_graph`.
+Gradients flow through the collectives (JAX transposes all_to_all/all_gather
+automatically), so the same code serves training. On a 1-device mesh the
+collectives degrade to copies.
+
+Stacked-shard convention: node state is ``[P, Nb, D]``; shard_map peels the
+leading axis so each device computes on its ``[Nb, D]`` block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from graphax.dist.partition import EdgePartition
+
+
+def halo_exchange(x_local, send_idx, halo_gather, num_shards: int,
+                  pair_size: int, axis_name: str):
+    """One all_to_all moving boundary rows. ``send_idx [P, Hp]``: rows of MY
+    block each peer requested (in their request order); ``halo_gather [H]``:
+    flat (peer·Hp + slot) source for each of my halo slots. Returns [H, D]."""
+    d = x_local.shape[-1]
+    send_buf = x_local[send_idx.reshape(-1)].reshape(num_shards, pair_size, d)
+    # chunk s of my buffer → device s; my output chunk t ← device t's chunk me
+    recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
+                              concat_axis=0, tiled=False)
+    return recv.reshape(num_shards * pair_size, d)[halo_gather]
+
+
+def _local_spmm(local_row, local_col, weight, x_ext, block_size: int):
+    """Row-owned edges ⇒ the segment-sum over [0, Nb) is shard-local."""
+    gathered = x_ext[local_col] * weight[:, None]
+    return jax.ops.segment_sum(gathered, local_row, num_segments=block_size)
+
+
+def _device_tables(part: EdgePartition):
+    """Per-shard tables as jnp arrays, stacked on the shard axis."""
+    return (jnp.asarray(part.local_row), jnp.asarray(part.local_col),
+            jnp.asarray(part.edge_weight * part.edge_mask),
+            jnp.asarray(part.send_idx), jnp.asarray(part.halo_gather))
+
+
+def sharded_spmm_halo(mesh: Mesh, part: EdgePartition,
+                      axis_name: str = "graph"):
+    """Returns ``f(xs [P, Nb, D], weights=None) -> [P, Nb, D]`` computing
+    ``A @ x`` with the halo all_to_all. ``weights [P, Es]`` optionally
+    overrides the partition's edge weights (e.g. pinned attention)."""
+    tables = _device_tables(part)
+    spec = P(axis_name)
+    specs5 = (spec, spec, spec, spec, spec)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, specs5), out_specs=spec)
+    def run(xs, tbl):
+        local_row, local_col, weight, send_idx, halo_gather = \
+            tuple(t[0] for t in tbl)
+        halo = halo_exchange(xs[0], send_idx, halo_gather, part.num_shards,
+                             part.pair_size, axis_name)
+        x_ext = jnp.concatenate([xs[0], halo], axis=0)
+        out = _local_spmm(local_row, local_col, weight, x_ext,
+                          part.block_size)
+        return out[None]
+
+    def f(xs, weights=None):
+        tbl = tables if weights is None else \
+            (tables[0], tables[1], weights, tables[3], tables[4])
+        return run(xs, tbl)
+
+    return f
+
+
+def _global_cols(part: EdgePartition):
+    """Extended local col coords → global (padded) node ids, for the
+    all_gather strategy."""
+    import numpy as np
+
+    p, nb, hp = part.num_shards, part.block_size, part.pair_size
+    inv = np.zeros((p, p * hp), np.int64)
+    for s in range(p):
+        for t in range(p):
+            inv[s, t * hp:(t + 1) * hp] = t * nb + part.send_idx[t, s]
+    col_global = np.zeros_like(part.local_col, dtype=np.int64)
+    for s in range(p):
+        lc = part.local_col[s]
+        is_halo = lc >= nb
+        col_global[s, ~is_halo] = s * nb + lc[~is_halo]
+        col_global[s, is_halo] = inv[s, part.halo_gather[s][lc[is_halo] - nb]]
+    return col_global
+
+
+def sharded_spmm_allgather(mesh: Mesh, part: EdgePartition,
+                           axis_name: str = "graph"):
+    """all_gather baseline: gather [N_pad, D] then index global cols."""
+    tables = (jnp.asarray(part.local_row), jnp.asarray(_global_cols(part)),
+              jnp.asarray(part.edge_weight * part.edge_mask))
+    spec = P(axis_name)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, (spec, spec, spec)), out_specs=spec)
+    def run(xs, tbl):
+        local_row, colg, weight = tuple(t[0] for t in tbl)
+        x_full = jax.lax.all_gather(xs[0], axis_name, axis=0, tiled=True)
+        gathered = x_full[colg] * weight[:, None]
+        out = jax.ops.segment_sum(gathered, local_row,
+                                  num_segments=part.block_size)
+        return out[None]
+
+    return lambda xs: run(xs, tables)
+
+
+def make_sharded_diffusion_step(mesh: Mesh, part: EdgePartition,
+                                alpha_sigmoid: bool = True,
+                                axis_name: str = "graph"):
+    """Sharded GRAND-l RHS on stacked state: ``f = σ(α)(Ax − x) [+ β·x0]``.
+    Drop straight into graphax.ode solvers (state pytree = [P, Nb, D])."""
+    spmm = sharded_spmm_halo(mesh, part, axis_name)
+
+    def rhs(params, xs, x0s=None):
+        ax = spmm(xs)
+        alpha = params["alpha_train"]
+        if alpha_sigmoid:
+            alpha = jax.nn.sigmoid(alpha)
+        f = alpha * (ax - xs)
+        if x0s is not None:
+            f = f + params["beta_train"] * x0s
+        return f
+
+    return rhs

