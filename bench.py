@@ -1,48 +1,54 @@
 """Benchmark: edges/s/chip per ODE step (BASELINE.json metric).
 
-Measures the hot kernel triple of graph neural diffusion — SDDMM (per-edge
-Q·K) → segment softmax → SpMM — i.e. one transformer-attention RHS
-evaluation (`src/function_transformer_attention.py:44-59` in the reference),
-on an ogbn-arxiv-scale synthetic graph (169,343 nodes / ~2.3M directed
-edges, the reference's largest workload, `src/best_params.py:7`).
+Measures one diffusion RHS evaluation — the solver's hot loop body — at two
+scales:
 
-``vs_baseline`` is the speedup over the *reference's own algorithm* — the
-fork densifies every sparse product to [N, N] and matmuls
-(`src/function_laplacian_diffusion.py:39-58`); that baseline is measured on
-the same device at the largest size where the dense matrix fits, and its
-edges/s are compared at that common size.
+- **ogbn-arxiv scale** (169,343 nodes / ~2.3M directed edges, the
+  reference's largest workload, `src/best_params.py:7`): the row-tiled MXU
+  strategy (graphax.kernels) for both the SpMM (laplacian) and
+  SDDMM→softmax→SpMM (transformer attention) RHS.
+- **Cora scale** (`src/best_params.py:1`): the dense-operator strategy.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+``vs_baseline`` compares against the same RHS computed with plain XLA
+segment ops (gather + scatter-add) — the straightforward port of the
+reference's torch_scatter kernels — on the same device/dtype/graph.
+
+Timing: K dependent RHS applications chained inside one jit (`lax.scan`),
+so tunnel/dispatch latency amortizes and nothing is constant-folded.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import dataclasses
 import json
 import time
 
 import numpy as np
 
 
-def build_graph_arrays(n, avg_deg, seed=0):
-    rng = np.random.RandomState(seed)
-    e = n * avg_deg
-    row = rng.randint(0, n, e).astype(np.int32)
-    col = rng.randint(0, n, e).astype(np.int32)
-    keep = row != col
-    row, col = row[keep], col[keep]
-    # sort by row for locality (host-side graph build does this)
-    order = np.argsort(row, kind="stable")
-    return row[order], col[order]
-
-
-def timeit(fn, *args, warmup=2, iters=10):
+def bench_chained(fn, state, *args, iters=10, warmup=1):
     import jax
 
+    @jax.jit
+    def run(s, *a):
+        return jax.lax.scan(lambda c, _: (fn(c, *a), None), s, None,
+                            length=iters)[0]
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(run(state, *args))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(run(state, *args))
     return (time.perf_counter() - t0) / iters
+
+
+def build_sorted_edges(n, avg_deg, seed=0):
+    rng = np.random.RandomState(seed)
+    row = rng.randint(0, n, n * avg_deg)
+    col = rng.randint(0, n, n * avg_deg)
+    keep = row != col
+    row, col = row[keep], col[keep]
+    order = np.lexsort((col, row))
+    return row[order], col[order]
 
 
 def main():
@@ -52,71 +58,90 @@ def main():
     from graphax import Config
     from graphax.functions import get_function
     from graphax.functions.common import FuncState
+    from graphax.kernels.dispatch import attach_tiles
     from graphax.sparse import Graph
 
     platform = jax.devices()[0].platform
     dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    rng = np.random.RandomState(1)
 
-    # ---- main measurement: attention RHS at arxiv scale ----------------
-    cfg = Config(function="transformer", heads=2, attention_dim=32,
-                 hidden_dim=162, attention_type="scaled_dot",
-                 self_loop_weight=1.0, add_source=False)
-    n, avg_deg = 169_343, 14
-    row, col = build_graph_arrays(n, avg_deg)
-    e_real = len(row)
-    g = Graph.from_edges(row, col, n)
-    func = get_function(cfg, 162)
-    params = func.init(jax.random.PRNGKey(0))
-    x = jnp.asarray(np.random.RandomState(1).randn(n, 162), dtype)
-    fstate = FuncState(graph=g, x0=x)
+    # ---- arxiv scale -----------------------------------------------------
+    n, avg_deg, d = 169_343, 14, 162
+    row, col = build_sorted_edges(n, avg_deg)
+    e = len(row)
+    g0 = Graph.from_edges(row, col, n)
+    g_tiled = dataclasses.replace(attach_tiles(g0), strategy="tiled")
+    g_xla = dataclasses.replace(g0, strategy="edge")
+    x = jnp.asarray(rng.randn(n, d), dtype)
 
-    rhs = jax.jit(lambda p, xx: func.rhs(p, fstate, 0.0, xx))
-    t_rhs = timeit(rhs, params, x)
-    edges_per_s = e_real / t_rhs
+    cfg_att = Config(function="transformer", heads=2, attention_dim=32,
+                     hidden_dim=d, attention_type="scaled_dot",
+                     self_loop_weight=1.0)
+    cfg_lap = Config(function="laplacian", hidden_dim=d, self_loop_weight=1.0)
+    from graphax.functions.common import prepare_scalars
 
-    # ---- laplacian (pure SpMM) RHS at the same scale -------------------
-    cfg_l = Config(function="laplacian", hidden_dim=162,
-                   self_loop_weight=1.0, add_source=False)
-    func_l = get_function(cfg_l, 162)
-    params_l = func_l.init(jax.random.PRNGKey(0))
-    rhs_l = jax.jit(lambda p, xx: func_l.rhs(p, fstate, 0.0, xx))
-    t_spmm = timeit(rhs_l, params_l, x)
+    f_att = get_function(cfg_att, d)
+    f_lap = get_function(cfg_lap, d)
+    # the solver path (blocks.integrate) prepares activation scalars once
+    # per forward; mirror that here
+    p_att = prepare_scalars(f_att.init(jax.random.PRNGKey(0)), cfg_att, dtype)
+    p_lap = prepare_scalars(f_lap.init(jax.random.PRNGKey(0)), cfg_lap, dtype)
 
-    # ---- reference-algorithm baseline (densify to [N,N]) ---------------
-    # at the largest size the dense adjacency fits on-chip
-    n_d = 4096
-    row_d, col_d = build_graph_arrays(n_d, avg_deg, seed=2)
-    e_d = len(row_d)
-    g_d = Graph.from_edges(row_d, col_d, n_d)
-    x_d = jnp.asarray(np.random.RandomState(3).randn(n_d, 162), dtype)
-    w_d = jnp.asarray(np.random.RandomState(4).rand(e_d), dtype)
+    def rhs_step(func):
+        def step(s, fs, p):
+            return s * 0.99 + func.rhs(p, fs, 0.0, s).astype(s.dtype) * 0.01
+        return step
 
-    def dense_rhs(w, xx):
-        # the reference's sparse_multiply: build dense [N,N], then matmul
-        a = jnp.zeros((n_d, n_d), dtype).at[g_d.row, g_d.col].add(w)
-        return a @ xx - xx
+    fs_tiled = FuncState(graph=g_tiled, x0=x)
+    fs_xla = FuncState(graph=g_xla, x0=x)
 
-    fstate_d = FuncState(graph=g_d.with_weights(w_d), x0=x_d)
-    sparse_rhs_d = jax.jit(lambda xx: func_l.rhs(params_l, fstate_d, 0.0, xx))
-    t_dense = timeit(jax.jit(dense_rhs), w_d, x_d)
-    t_sparse_same = timeit(sparse_rhs_d, x_d)
-    vs_baseline = t_dense / t_sparse_same
+    t_att = bench_chained(rhs_step(f_att), x, fs_tiled, p_att)
+    t_att_base = bench_chained(rhs_step(f_att), x, fs_xla, p_att)
+    t_lap = bench_chained(rhs_step(f_lap), x, fs_tiled, p_lap)
+    t_lap_base = bench_chained(rhs_step(f_lap), x, fs_xla, p_lap)
+
+    # ---- Cora scale (dense strategy) ------------------------------------
+    nc, dc = 2485, 80
+    rc, cc = build_sorted_edges(nc, 4, seed=2)
+    gc0 = Graph.from_edges(rc, cc, nc)
+    ec = len(rc)
+    gc_dense = dataclasses.replace(gc0, strategy="dense")
+    gc_xla = dataclasses.replace(gc0, strategy="edge")
+    xc = jnp.asarray(rng.randn(nc, dc), jnp.float32)
+    cfg_c = Config(function="laplacian", hidden_dim=dc, self_loop_weight=1.0)
+    f_c = get_function(cfg_c, dc)
+    p_c = prepare_scalars(f_c.init(jax.random.PRNGKey(0)), cfg_c,
+                          jnp.float32)
+    from graphax.kernels.dense_path import densify
+
+    fs_cd = FuncState(graph=gc_dense, x0=xc,
+                      dense_adj=densify(gc_dense, gc_dense.edge_weight))
+    fs_ce = FuncState(graph=gc_xla, x0=xc)
+    t_cora = bench_chained(rhs_step(f_c), xc, fs_cd, p_c, iters=50)
+    t_cora_base = bench_chained(rhs_step(f_c), xc, fs_ce, p_c, iters=50)
 
     print(json.dumps({
         "metric": "attention_rhs_edges_per_s_per_chip",
-        "value": round(edges_per_s, 1),
+        "value": round(e / t_att, 1),
         "unit": "edges/s",
-        "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline": round(t_att_base / t_att, 2),
         "platform": platform,
-        "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
-        "n_nodes": n,
-        "n_edges": e_real,
-        "t_attention_rhs_ms": round(t_rhs * 1e3, 3),
-        "t_spmm_rhs_ms": round(t_spmm * 1e3, 3),
-        "spmm_edges_per_s": round(e_real / t_spmm, 1),
-        "baseline": "reference densify-to-NxN algorithm on same device "
-                    f"(N={n_d}): {t_dense*1e3:.2f}ms dense vs "
-                    f"{t_sparse_same*1e3:.2f}ms sparse",
+        "dtype": str(dtype.__name__),
+        "arxiv_scale": {
+            "n_nodes": n, "n_edges": e,
+            "attention_rhs_ms": round(t_att * 1e3, 2),
+            "attention_rhs_ms_xla_baseline": round(t_att_base * 1e3, 2),
+            "spmm_rhs_ms": round(t_lap * 1e3, 2),
+            "spmm_rhs_ms_xla_baseline": round(t_lap_base * 1e3, 2),
+            "spmm_edges_per_s": round(e / t_lap, 1),
+            "spmm_vs_baseline": round(t_lap_base / t_lap, 2),
+        },
+        "cora_scale_dense": {
+            "n_nodes": nc, "n_edges": ec,
+            "spmm_rhs_ms": round(t_cora * 1e3, 3),
+            "spmm_rhs_ms_xla_baseline": round(t_cora_base * 1e3, 3),
+            "spmm_vs_baseline": round(t_cora_base / t_cora, 2),
+        },
     }))
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax
 
-from graphax.blocks.common import BlockOutput, integrate, normalize_graph
+from graphax.blocks.common import BlockOutput, integrate, make_fstate, normalize_graph
 from graphax.blocks.constant import ODEBlock
 from graphax.functions import (
     get_function, transformer_attention_apply, transformer_attention_init,
@@ -37,8 +37,7 @@ def make_attention_block(cfg, in_dim: int) -> ODEBlock:
                 observer=None, max_steps=None) -> BlockOutput:
         g = normalize_graph(cfg, graph)
         att = attention_weights(params, g, x)        # [E, H]
-        fstate = FuncState(graph=g, x0=jax.lax.stop_gradient(x),
-                           attention=att.mean(axis=1), y=y)
+        fstate = make_fstate(g, x, attention=att.mean(axis=1), y=y)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)
 

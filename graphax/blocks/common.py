@@ -49,6 +49,20 @@ def normalize_graph(cfg, graph: Graph, double_self_loops: bool = True) -> Graph:
     return graph.with_weights(w)
 
 
+def make_fstate(graph, x, attention=None, y=None) -> FuncState:
+    """Assemble the per-forward FuncState; under the dense strategy the
+    [N,N] operator is materialized HERE, once per forward, so the solver's
+    RHS evaluations are pure matmuls (graphax.kernels.dense_path)."""
+    dense_adj = None
+    if graph.strategy == "dense":
+        from graphax.kernels.dense_path import densify
+
+        values = graph.edge_weight if attention is None else attention
+        dense_adj = densify(graph, values)
+    return FuncState(graph=graph, x0=jax.lax.stop_gradient(x),
+                     attention=attention, y=y, dense_adj=dense_adj)
+
+
 def _split_diff_state(fstate: FuncState):
     """Separate the differentiable leaves of FuncState (x0, attention, edge
     weights, second modality) from the static topology, for the adjoint path
@@ -58,12 +72,14 @@ def _split_diff_state(fstate: FuncState):
         "attention": fstate.attention,
         "edge_weight": fstate.graph.edge_weight,
         "y": fstate.y,
+        "dense_adj": fstate.dense_adj,
     }
 
     def rebuild(d):
         return dataclasses.replace(
             fstate,
             x0=d["x0"], attention=d["attention"], y=d["y"],
+            dense_adj=d["dense_adj"],
             graph=fstate.graph.with_weights(d["edge_weight"]))
 
     return diff, rebuild
@@ -79,6 +95,9 @@ def integrate(cfg, func: DiffusionFunction, params, fstate: FuncState,
     train``, the plain one otherwise. ``observer`` is only meaningful on the
     non-adjoint path (eval-time early stopping)."""
     t_end = float(cfg.time if t1 is None else t1)
+    from graphax.functions.common import prepare_scalars
+
+    params = prepare_scalars(params, cfg, x.dtype)
     rhs = rhs_override if rhs_override is not None else func.rhs
     reg = cfg.reg_coeffs() if train else ()
     reg_names = tuple(n for n, _ in reg)

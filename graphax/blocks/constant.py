@@ -7,7 +7,7 @@ from typing import NamedTuple
 
 import jax
 
-from graphax.blocks.common import BlockOutput, integrate, normalize_graph
+from graphax.blocks.common import BlockOutput, integrate, make_fstate, normalize_graph
 from graphax.functions import get_function
 from graphax.functions.common import FuncState
 
@@ -28,7 +28,7 @@ def make_constant_block(cfg, in_dim: int) -> ODEBlock:
     def forward(params, graph, x, *, train: bool, y=None, t1=None,
                 observer=None, max_steps=None) -> BlockOutput:
         g = normalize_graph(cfg, graph)
-        fstate = FuncState(graph=g, x0=jax.lax.stop_gradient(x), y=y)
+        fstate = make_fstate(g, x, y=y)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from graphax.blocks.common import BlockOutput, integrate, normalize_graph
+from graphax.blocks.common import BlockOutput, integrate, make_fstate, normalize_graph
 from graphax.blocks.constant import ODEBlock
 from graphax.functions import (
     get_function, transformer_attention_apply, transformer_attention_init,
@@ -87,8 +87,7 @@ def make_hard_attention_block(cfg, in_dim: int) -> ODEBlock:
             edge_vals = renormalise(g, mean_att, keep)
         else:
             edge_vals = jnp.where(g.edge_mask, mean_att, 0.0)
-        fstate = FuncState(graph=g, x0=jax.lax.stop_gradient(x),
-                           attention=edge_vals, y=y)
+        fstate = make_fstate(g, x, attention=edge_vals, y=y)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)
 

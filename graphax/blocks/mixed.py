@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import jax
 
-from graphax.blocks.common import BlockOutput, integrate, normalize_graph
+from graphax.blocks.common import BlockOutput, integrate, make_fstate, normalize_graph
 from graphax.blocks.constant import ODEBlock
 from graphax.functions import (
     get_function, transformer_attention_apply, transformer_attention_init,
@@ -35,8 +35,8 @@ def make_mixed_block(cfg, in_dim: int) -> ODEBlock:
     def forward(params, graph, x, *, train: bool, y=None, t1=None,
                 observer=None, max_steps=None) -> BlockOutput:
         g = normalize_graph(cfg, graph)
-        fstate = FuncState(graph=g, x0=jax.lax.stop_gradient(x),
-                           attention=mixed_attention(params, g, x), y=y)
+        fstate = make_fstate(g, x, attention=mixed_attention(params, g, x),
+                             y=y)
         return integrate(cfg_noreg, func, params["func"], fstate, x,
                          train=train, t1=t1, observer=observer,
                          max_steps=max_steps)

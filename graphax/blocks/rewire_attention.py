@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from graphax.blocks.common import BlockOutput, integrate, normalize_graph
+from graphax.blocks.common import BlockOutput, integrate, make_fstate, normalize_graph
 from graphax.blocks.constant import ODEBlock
 from graphax.blocks.hard_attention import masked_quantile
 from graphax.functions import (
@@ -117,8 +117,7 @@ def make_rewire_attention_block(cfg, in_dim: int) -> ODEBlock:
         else:
             edge_vals = jnp.where(g.edge_mask, att, 0.0)
             g_run = g
-        fstate = FuncState(graph=g_run, x0=jax.lax.stop_gradient(x),
-                           attention=edge_vals, y=y)
+        fstate = make_fstate(g_run, x, attention=edge_vals, y=y)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)
 

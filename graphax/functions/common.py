@@ -38,6 +38,9 @@ class FuncState:
     x0: Optional[jax.Array] = None
     attention: Optional[jax.Array] = None
     y: Optional[jax.Array] = None
+    # densified [N, N] operator (dense strategy; built once per forward by
+    # the block so every NFE is a plain matmul)
+    dense_adj: Optional[jax.Array] = None
 
     def edge_values(self) -> jax.Array:
         return self.graph.edge_weight if self.attention is None else self.attention
@@ -59,15 +62,38 @@ def init_alpha_beta(cfg) -> dict:
     return {"alpha_train": jnp.zeros(()), "beta_train": jnp.zeros(())}
 
 
-def apply_alpha_beta(params, cfg, ax, x, x0):
-    """``f = α·(ax − x) [+ β·x0]`` with α = sigmoid(alpha_train) unless
-    `no_alpha_sigmoid` (`src/function_laplacian_diffusion.py:69-77`)."""
+def prepare_scalars(params, cfg, dtype):
+    """Precompute activation scalars ONCE per forward, outside the solver
+    loop. A scalar `sigmoid` inside the integrator body measurably breaks
+    XLA loop-invariant hoisting on TPU (~1.2 ms/step pipeline stall at arxiv
+    scale); hoisting it here makes every RHS evaluation scalar-op-free.
+    Gradients still flow to alpha_train/beta_train through this step."""
     alpha = params["alpha_train"]
     if not cfg.no_alpha_sigmoid:
         alpha = jax.nn.sigmoid(alpha)
-    f = alpha * (ax - x)
+    out = dict(params)
+    out["_alpha_eff"] = alpha.astype(dtype)
+    out["_beta_eff"] = params["beta_train"].astype(dtype)
+    return out
+
+
+def apply_alpha_beta(params, cfg, ax, x, x0):
+    """``f = α·(ax − x) [+ β·x0]`` with α = sigmoid(alpha_train) unless
+    `no_alpha_sigmoid` (`src/function_laplacian_diffusion.py:69-77`).
+    Scalars are cast to the state dtype so mixed-precision states never get
+    silently promoted to f32."""
+    if "_alpha_eff" in params:
+        alpha = params["_alpha_eff"].astype(x.dtype)
+        beta = params["_beta_eff"].astype(x.dtype)
+    else:
+        alpha = params["alpha_train"]
+        if not cfg.no_alpha_sigmoid:
+            alpha = jax.nn.sigmoid(alpha)
+        alpha = alpha.astype(x.dtype)
+        beta = params["beta_train"].astype(x.dtype)
+    f = alpha * (ax.astype(x.dtype) - x)
     if cfg.add_source:
-        f = f + params["beta_train"] * x0
+        f = f + beta * x0.astype(x.dtype)
     return f
 
 

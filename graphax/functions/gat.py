@@ -17,7 +17,9 @@ from graphax.functions.common import (
     DiffusionFunction, FuncState, apply_alpha_beta, cross_modal_init,
     cross_modal_apply, init_alpha_beta,
 )
-from graphax.sparse.ops import attention_spmm, segment_softmax, spmm_multihead
+from graphax.kernels.dispatch import (
+    attention_spmm_auto, segment_softmax_auto, spmm_multihead_auto,
+)
 from graphax.utils.params import xavier_normal
 
 
@@ -48,9 +50,9 @@ def gat_attention_apply(params, cfg, graph, x, y=None):
     scores = jnp.einsum("ehd,d->eh", h[graph.row], a1) + \
         jnp.einsum("ehd,d->eh", h[graph.col], a2)
     scores = jax.nn.leaky_relu(scores, negative_slope=cfg.leaky_relu_slope)
-    norm_index = graph.row if cfg.attention_norm_idx == 0 else graph.col
-    attention = segment_softmax(scores, norm_index, graph.num_nodes,
-                                graph.edge_mask)
+    attention = segment_softmax_auto(graph, scores,
+                                     cfg.attention_norm_idx == 0,
+                                     graph.edge_mask)
     return attention, wx
 
 
@@ -71,12 +73,10 @@ def make_gat(cfg, in_dim: int) -> DiffusionFunction:
             att_m = attention * g.edge_mask[:, None]
             wx_h = jnp.broadcast_to(wx[:, None, :],
                                     (wx.shape[0], cfg.heads, wx.shape[1]))
-            mixed = spmm_multihead(g.row, g.col, att_m, wx_h,
-                                   g.num_nodes).mean(axis=1)
+            mixed = spmm_multihead_auto(g, att_m, wx_h).mean(axis=1)
             ax = mixed @ params["att"]["Wout"]
         else:
-            ax = attention_spmm(g.row, g.col, attention, x, g.num_nodes,
-                                mask=g.edge_mask)
+            ax = attention_spmm_auto(g, attention, x, mask=g.edge_mask)
         return apply_alpha_beta(params, cfg, ax, x, fstate.x0)
 
     return DiffusionFunction(init=init, rhs=rhs, attention_fn=attention_fn)

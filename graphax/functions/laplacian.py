@@ -10,12 +10,13 @@ gather + segment-sum SpMM (Pallas fused kernel on TPU via graphax.kernels).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from graphax.functions.common import (
     DiffusionFunction, FuncState, apply_alpha_beta, cross_modal_init,
     cross_modal_apply, init_alpha_beta,
 )
-from graphax.sparse.ops import spmm
+from graphax.kernels.dispatch import spmm_auto
 
 
 def make_laplacian(cfg, in_dim: int) -> DiffusionFunction:
@@ -30,7 +31,13 @@ def make_laplacian(cfg, in_dim: int) -> DiffusionFunction:
         if cfg.multi_modal and fstate.y is not None:
             x = cross_modal_apply(params["cross"], x, fstate.y)
         g = fstate.graph
-        ax = spmm(g.row, g.col, fstate.edge_values(), x, g.num_nodes)
+        if fstate.dense_adj is not None:
+            # dense strategy: one [N,N]x[N,D] MXU matmul per evaluation
+            ax = jnp.matmul(fstate.dense_adj.astype(x.dtype), x,
+                            preferred_element_type=jnp.float32) \
+                .astype(x.dtype)
+        else:
+            ax = spmm_auto(g, fstate.edge_values(), x)
         return apply_alpha_beta(params, cfg, ax, x, fstate.x0)
 
     return DiffusionFunction(init=init, rhs=rhs, attention_fn=None)

@@ -23,8 +23,9 @@ from graphax.functions.common import (
     DiffusionFunction, FuncState, apply_alpha_beta, cross_modal_init,
     cross_modal_apply, init_alpha_beta,
 )
-from graphax.sparse.ops import (
-    attention_spmm, segment_softmax, spmm_multihead, squareplus_norm,
+from graphax.kernels.dispatch import (
+    attention_spmm_auto, segment_softmax_auto, spmm_multihead_auto,
+    squareplus_auto,
 )
 from graphax.utils.params import linear_apply, linear_init
 
@@ -143,12 +144,12 @@ def transformer_attention_apply(params, cfg, graph, x, y=None):
     if cfg.reweight_attention:
         prods = prods * graph.edge_weight[:, None]
 
-    norm_index = row if cfg.attention_norm_idx == 0 else col
+    is_row = cfg.attention_norm_idx == 0
     mask = graph.edge_mask
     if cfg.square_plus:
-        attention = squareplus_norm(prods, norm_index, graph.num_nodes, mask)
+        attention = squareplus_auto(graph, prods, is_row, mask)
     else:
-        attention = segment_softmax(prods, norm_index, graph.num_nodes, mask)
+        attention = segment_softmax_auto(graph, prods, is_row, mask)
     return attention, (v, prods)
 
 
@@ -159,12 +160,35 @@ def transformer_attention_apply(params, cfg, graph, x, y=None):
 def multiply_attention(params, cfg, graph, x, attention, v):
     """`ODEFuncTransformerAtt.multiply_attention` (`:20-42`)."""
     if cfg.mix_features:
-        vx = spmm_multihead(graph.row, graph.col,
-                            attention * graph.edge_mask[:, None], v,
-                            graph.num_nodes).mean(axis=1)      # [N, Dh]
+        vx = spmm_multihead_auto(graph, attention * graph.edge_mask[:, None],
+                                 v).mean(axis=1)               # [N, Dh]
         return linear_apply(params["Wout"], vx)
-    return attention_spmm(graph.row, graph.col, attention, x,
-                          graph.num_nodes, mask=graph.edge_mask)
+    return attention_spmm_auto(graph, attention, x, mask=graph.edge_mask)
+
+
+def dense_rhs_ax(params, cfg, graph, x, y=None):
+    """Fully dense attention RHS step (dense strategy, non-Beltrami): masked
+    QKᵀ softmax on the MXU, per-NFE — see graphax.kernels.dense_path."""
+    from graphax.kernels.dense_path import dense_transformer_attention
+
+    p = params
+    if cfg.multi_modal and y is not None:
+        x_att = cross_modal_apply(p["cross"], x, y)
+    else:
+        x_att = x
+    q = _split_heads(linear_apply(p["Q"], x_att), cfg.heads)
+    k = _split_heads(linear_apply(p["K"], x_att), cfg.heads)
+    att, _mask = dense_transformer_attention(p, cfg, graph, q, k)  # [H,N,N]
+    if cfg.mix_features:
+        v = _split_heads(linear_apply(p["V"], x_att), cfg.heads)
+        vt = jnp.moveaxis(v, 1, 0)                                 # [H,N,Dh]
+        vx = jnp.einsum("hnm,hmd->hnd", att, vt,
+                        preferred_element_type=jnp.float32) \
+            .mean(axis=0).astype(x.dtype)
+        return linear_apply(p["Wout"], vx)
+    mean_att = att.mean(axis=0)
+    return jnp.matmul(mean_att.astype(x.dtype), x,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def make_transformer(cfg, in_dim: int) -> DiffusionFunction:
@@ -179,9 +203,21 @@ def make_transformer(cfg, in_dim: int) -> DiffusionFunction:
                                            x, y)
 
     def rhs(params, fstate: FuncState, t, x):
-        attention, (v, _) = attention_fn(params, fstate, x, fstate.y)
-        ax = multiply_attention(params["att"], cfg, fstate.graph, x,
-                                attention, v)
+        from graphax.kernels.dense_path import use_dense_attention
+        from graphax.kernels.fused_attention import (
+            fused_attention_ax, fused_path_applicable,
+        )
+
+        g = fstate.graph
+        if (use_dense_attention(g, cfg.heads)
+                and not (cfg.beltrami and cfg.attention_type == "exp_kernel")):
+            ax = dense_rhs_ax(params["att"], cfg, g, x, fstate.y)
+        elif g.tiles is not None and fused_path_applicable(cfg):
+            ax = fused_attention_ax(cfg, params["att"], g.tiles, x,
+                                    edge_weight=g.edge_weight)
+        else:
+            attention, (v, _) = attention_fn(params, fstate, x, fstate.y)
+            ax = multiply_attention(params["att"], cfg, g, x, attention, v)
         return apply_alpha_beta(params, cfg, ax, x, fstate.x0)
 
     return DiffusionFunction(init=init, rhs=rhs, attention_fn=attention_fn)

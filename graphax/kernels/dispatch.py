@@ -1,0 +1,85 @@
+"""Routing between the XLA segment path and the MXU-tiled fast path.
+
+A Graph that carries a :class:`RowTiles` layout (attached by
+``graphax.sparse.build.build_graph(..., tiles=True)`` or
+:func:`attach_tiles`) takes the scatter-free path; otherwise the plain
+segment ops run — numerically interchangeable, pinned by tests."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from graphax.kernels.segment_mxu import (
+    tiled_segment_softmax, tiled_spmm, tiled_spmm_multihead,
+)
+from graphax.kernels.tiles import RowTiles, build_row_tiles
+from graphax.sparse import ops as xla_ops
+
+
+def attach_tiles(graph, tile: int = 128, block_edges: int = 512):
+    """Return a copy of ``graph`` carrying the row-tiled layout (host-side
+    preprocessing; edge buffers must be sorted by row)."""
+    import dataclasses
+
+    tiles = build_row_tiles(graph.row, graph.col, graph.num_nodes,
+                            num_edges=int(graph.num_edges), tile=tile,
+                            block_edges=block_edges)
+    return dataclasses.replace(graph, tiles=tiles)
+
+
+def spmm_auto(graph, edge_values, x):
+    """A @ x with per-edge ``edge_values`` (must be 0 on padding)."""
+    if graph.tiles is not None:
+        return tiled_spmm(edge_values, x, graph.tiles)
+    return xla_ops.spmm(graph.row, graph.col, edge_values, x,
+                        graph.num_nodes)
+
+
+def segment_softmax_auto(graph, scores, norm_index_is_row: bool, mask=None):
+    """Segment softmax over the attention norm index. The tiled layout is
+    keyed on ``row``, so the fast path applies when normalizing over rows;
+    col-normalized configs fall back to the XLA path (a col-sorted second
+    layout is a planned extension)."""
+    if graph.tiles is not None and norm_index_is_row:
+        return tiled_segment_softmax(scores, graph.row, graph.tiles,
+                                     mask=mask)
+    index = graph.row if norm_index_is_row else graph.col
+    return xla_ops.segment_softmax(scores, index, graph.num_nodes, mask=mask)
+
+
+def squareplus_auto(graph, scores, norm_index_is_row: bool, mask=None,
+                    eps: float = 1e-16):
+    """Square-plus normalization (global max shift) on the fast path."""
+    if graph.tiles is None or not norm_index_is_row:
+        index = graph.row if norm_index_is_row else graph.col
+        return xla_ops.squareplus_norm(scores, index, graph.num_nodes,
+                                       mask=mask)
+    from graphax.kernels.segment_mxu import tiled_segment_sum
+
+    neg = jnp.asarray(-1e30, scores.dtype)
+    s = scores if mask is None else jnp.where(mask[:, None], scores, neg)
+    gmax = jnp.max(s)
+    gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+    out = s - gmax
+    out = (out + jnp.sqrt(out * out + 4.0)) / 2.0
+    if mask is not None:
+        out = jnp.where(mask[:, None], out, 0.0)
+    denom = tiled_segment_sum(out, graph.tiles)[graph.row]
+    return out / (denom + eps)
+
+
+def attention_spmm_auto(graph, attention, x, mask=None):
+    """Mean-over-heads attention SpMM."""
+    mean_att = attention.mean(axis=1)
+    if mask is not None:
+        mean_att = jnp.where(mask, mean_att, 0.0)
+    return spmm_auto(graph, mean_att, x)
+
+
+def spmm_multihead_auto(graph, att, v):
+    if graph.tiles is not None:
+        return tiled_spmm_multihead(att, v, graph.tiles)
+    return xla_ops.spmm_multihead(graph.row, graph.col, att, v,
+                                  graph.num_nodes)

@@ -1,0 +1,141 @@
+"""Fused block-layout transformer-attention RHS for the tiled strategy.
+
+The edge-space pipeline pays two hidden TPU taxes per NFE: random per-edge
+gathers (``q[row]``, ``denominator[row]`` — ~17 ns/element) and a second
+one-hot reduction for the softmax denominators. This kernel keeps the entire
+SDDMM → softmax → SpMM chain in the ``[B, Eb]`` block layout of
+:class:`~graphax.kernels.tiles.RowTiles`, where every row-indexed quantity
+moves through 128-wide one-hot matmuls on the MXU:
+
+- ``q[row]`` per block = ``onehot(local_row) @ q_tile`` (q rows of a block's
+  tile are contiguous — block gather, not random);
+- softmax denominators reduce via the one-hot and broadcast back the same
+  way (no [E]-indexed gather);
+- only two unavoidable random gathers remain: ``k[col]`` and ``x[col]``.
+
+Scope: head-mean aggregation (the non-``mix_features`` path every tuned
+config uses), row normalization (attention_norm_idx=0), all four score
+types, softmax (global-max shift) or squareplus. Other combinations fall
+back to the edge-space path. Numerics pinned by parity tests against
+`graphax.functions.transformer`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graphax.kernels.tiles import RowTiles
+
+NEG = -1e30
+EPS = 1e-16
+
+
+def _onehot(tiles: RowTiles, dtype):
+    return jax.nn.one_hot(tiles.local_row, tiles.tile, dtype=dtype)
+
+
+def _tile_rows(node_vals, tiles: RowTiles):
+    """[N, F] → [B, tile, F]: each block's slice of its tile's rows
+    (contiguous block gather)."""
+    f = node_vals.shape[-1]
+    pad = tiles.padded_nodes - node_vals.shape[0]
+    v = jnp.pad(node_vals, ((0, pad), (0, 0)))
+    return v.reshape(tiles.num_tiles, tiles.tile, f)[tiles.tile_idx]
+
+
+def _broadcast_rows(oh, node_vals, tiles: RowTiles):
+    """node_vals[row] in block layout: [N, F] → [B, Eb, F] via the one-hot
+    matmul (MXU) instead of an [E]-indexed gather."""
+    tv = _tile_rows(node_vals.astype(oh.dtype), tiles)     # [B, R, F]
+    return jnp.einsum("ber,brf->bef", oh, tv,
+                      preferred_element_type=jnp.float32).astype(oh.dtype)
+
+
+def _reduce_rows(oh, block_vals, tiles: RowTiles):
+    """Σ over row segments: [B, Eb, F] → [N, F] (one-hot matmul + small
+    sorted segment-sum over blocks)."""
+    part = jnp.einsum("ber,bef->brf", oh, block_vals,
+                      preferred_element_type=jnp.float32)
+    out = jax.ops.segment_sum(part, tiles.tile_idx,
+                              num_segments=tiles.num_tiles,
+                              indices_are_sorted=True)
+    return out.reshape(tiles.padded_nodes, -1)[: tiles.num_nodes]
+
+
+def fused_attention_ax(cfg, att_params, tiles: RowTiles, x, edge_weight=None):
+    """``ax = mean_heads(softmax_row(scores)) @ x`` fully fused in block
+    layout. ``att_params`` is the transformer attention param dict (Q/K/...).
+    Returns ``[N, D]`` in x.dtype."""
+    from graphax.utils.params import linear_apply
+
+    heads = cfg.heads
+    d_k = cfg.attention_dim // heads
+    dt = x.dtype
+
+    q = linear_apply(att_params["Q"], x).astype(dt)     # [N, att_dim]
+    k = linear_apply(att_params["K"], x).astype(dt)
+
+    oh = _onehot(tiles, dt)                             # [B, Eb, R]
+    q_b = _broadcast_rows(oh, q, tiles)                 # [B, Eb, att]
+    k_b = k[tiles.col]                                  # [B, Eb, att]
+    b, eb = q_b.shape[:2]
+    q_h = q_b.reshape(b, eb, heads, d_k)
+    k_h = k_b.reshape(b, eb, heads, d_k)
+
+    if cfg.attention_type == "scaled_dot":
+        scores = jnp.einsum("behd,behd->beh", q_h, k_h,
+                            preferred_element_type=jnp.float32) / \
+            jnp.sqrt(jnp.asarray(d_k, jnp.float32))
+    elif cfg.attention_type in ("cosine_sim", "pearson"):
+        if cfg.attention_type == "pearson":
+            q_h = q_h - q_h.mean(axis=-1, keepdims=True)
+            k_h = k_h - k_h.mean(axis=-1, keepdims=True)
+        qn = jnp.maximum(jnp.linalg.norm(q_h.astype(jnp.float32), axis=-1),
+                         1e-5)
+        kn = jnp.maximum(jnp.linalg.norm(k_h.astype(jnp.float32), axis=-1),
+                         1e-5)
+        scores = jnp.einsum("behd,behd->beh", q_h, k_h,
+                            preferred_element_type=jnp.float32) / (qn * kn)
+    elif cfg.attention_type == "exp_kernel":
+        sq = jnp.sum((q_h.astype(jnp.float32) - k_h.astype(jnp.float32)) ** 2,
+                     axis=-1)
+        scores = att_params["output_var"] ** 2 * \
+            jnp.exp(-sq / (2 * att_params["lengthscale"] ** 2))
+    else:
+        raise ValueError(cfg.attention_type)
+
+    if cfg.reweight_attention and edge_weight is not None:
+        w_b = edge_weight.astype(scores.dtype)[tiles.edge_slot]
+        scores = scores * w_b[..., None]
+
+    mask = tiles.slot_mask[..., None]
+    scores = jnp.where(mask, scores, NEG)
+
+    if cfg.square_plus:
+        gmax = jnp.max(scores)
+        gmax = jnp.where(gmax <= NEG / 2, 0.0, gmax)
+        e = scores - gmax
+        e = (e + jnp.sqrt(e * e + 4.0)) / 2.0
+    else:
+        gmax = jnp.max(scores)
+        gmax = jnp.where(gmax <= NEG / 2, 0.0, gmax)
+        e = jnp.exp(scores - gmax)
+    e = jnp.where(mask, e, 0.0).astype(dt)              # [B, Eb, H]
+
+    denom = _reduce_rows(oh, e, tiles)                  # [N, H] f32
+    denom_b = _broadcast_rows(oh, (denom + EPS).astype(dt), tiles)
+    # padded slots have an all-zero one-hot row → denom_b == 0; guard the
+    # 0/0 (and its NaN gradient) explicitly
+    denom_safe = jnp.where(denom_b > 0, denom_b, 1.0)
+    w_mean = jnp.where(tiles.slot_mask, (e / denom_safe).mean(axis=-1), 0.0)
+
+    vb = x[tiles.col] * w_mean[..., None]               # [B, Eb, D]
+    ax = _reduce_rows(oh, vb, tiles)                    # [N, D] f32
+    return ax.astype(dt)
+
+
+def fused_path_applicable(cfg) -> bool:
+    return (not cfg.mix_features and cfg.attention_norm_idx == 0
+            and not (cfg.beltrami and cfg.attention_type == "exp_kernel")
+            and not cfg.multi_modal)

@@ -1,0 +1,117 @@
+"""Scatter-free segment reductions on the MXU (see package docstring).
+
+All functions take per-edge values in the ORIGINAL edge-buffer order and a
+:class:`RowTiles` layout; results per node come back as ``[N, ...]`` (tile
+padding stripped), results per edge in original order. f32 accumulation
+throughout (``preferred_element_type``)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graphax.kernels.tiles import RowTiles
+
+NEG = -1e30
+
+
+def _block_values(edge_values, tiles: RowTiles):
+    """Gather per-edge values into the [B, Eb, ...] block layout (zeros on
+    padded slots)."""
+    v = edge_values[tiles.edge_slot]
+    mask = tiles.slot_mask
+    return jnp.where(mask.reshape(mask.shape + (1,) * (v.ndim - 2)), v, 0)
+
+
+def _onehot_rows(tiles: RowTiles, dtype):
+    """[B, Eb, tile] one-hot of local rows (padded slots → all-zero)."""
+    return jax.nn.one_hot(tiles.local_row, tiles.tile, dtype=dtype)
+
+
+def _combine_tiles(partial, tiles: RowTiles):
+    """[B, tile, ...] block partials → [T, tile, ...]: sorted segment-sum
+    over the (few thousand) blocks — the only scatter, sized B not E."""
+    return jax.ops.segment_sum(partial, tiles.tile_idx,
+                               num_segments=tiles.num_tiles,
+                               indices_are_sorted=True)
+
+
+def tiled_segment_sum(edge_values, tiles: RowTiles):
+    """segment_sum over rows. ``edge_values [E(, D)]`` → ``[N(, D)]``."""
+    squeeze = edge_values.ndim == 1
+    v = edge_values[:, None] if squeeze else edge_values
+    vb = _block_values(v, tiles)                      # [B, Eb, D]
+    oh = _onehot_rows(tiles, vb.dtype)                # [B, Eb, R]
+    partial = jnp.einsum("ber,bed->brd", oh, vb,
+                         preferred_element_type=jnp.float32)
+    out = _combine_tiles(partial, tiles)              # [T, R, D]
+    out = out.reshape(tiles.padded_nodes, -1)[: tiles.num_nodes]
+    out = out.astype(edge_values.dtype)
+    return out[:, 0] if squeeze else out
+
+
+def tiled_segment_max(edge_values, tiles: RowTiles):
+    """segment_max over rows (−1e30 on empty segments). ``[E]`` → ``[N]``."""
+    vb = edge_values[tiles.edge_slot]                 # [B, Eb]
+    vb = jnp.where(tiles.slot_mask, vb, NEG)
+    # masked broadcast-max on the VPU: [B, Eb, 1] vs local-row one-hot
+    sel = tiles.local_row[..., None] == jnp.arange(tiles.tile)[None, None, :]
+    masked = jnp.where(sel, vb[..., None], NEG)       # [B, Eb, R]
+    partial = jnp.max(masked, axis=1)                 # [B, R]
+    out = jax.ops.segment_max(partial, tiles.tile_idx,
+                              num_segments=tiles.num_tiles,
+                              indices_are_sorted=True)
+    return out.reshape(-1)[: tiles.num_nodes]
+
+
+def tiled_segment_softmax(scores, row, tiles: RowTiles, mask=None,
+                          eps: float = 1e-16):
+    """Row-segment softmax, numerically equal to
+    `graphax.sparse.ops.segment_softmax` (+1e-16 denominator).
+
+    Stability shift: a GLOBAL max instead of the per-segment max — softmax is
+    invariant to any constant shift, exp stays ≤ 1 (no overflow), and the
+    per-segment masked-max would cost ~E·tile elements of VPU traffic per
+    head. Segments whose scores sit far below the global max could underflow
+    to uniform-zero in principle; attention scores are bounded (dot products
+    of bounded projections), so in practice this matches the reference to
+    float rounding — pinned by the kernel parity tests. ``scores [E, H]``."""
+    if mask is not None:
+        scores = jnp.where(mask[:, None], scores, NEG)
+    gmax = jnp.max(scores)
+    gmax = jnp.where(gmax <= NEG / 2, 0.0, gmax)
+    e = jnp.exp(scores - gmax)
+    if mask is not None:
+        e = jnp.where(mask[:, None], e, 0.0)
+    denom = tiled_segment_sum(e, tiles)[row]
+    return e / (denom + eps)
+
+
+def tiled_spmm(edge_weight, x, tiles: RowTiles):
+    """``y[r] = Σ_{e: row[e]=r} w[e]·x[col[e]]`` without gather-then-scatter:
+    per block, gather the ≤Eb source rows, scale, and one-hot-matmul into
+    the 128-row tile. ``x [N, D]`` → ``[N, D]``."""
+    wb = edge_weight.astype(x.dtype)[tiles.edge_slot]
+    wb = jnp.where(tiles.slot_mask, wb, 0)            # [B, Eb]
+    xg = x[tiles.col]                                 # [B, Eb, D]
+    vb = xg * wb[..., None]
+    oh = _onehot_rows(tiles, vb.dtype)
+    partial = jnp.einsum("ber,bed->brd", oh, vb,
+                         preferred_element_type=jnp.float32)
+    out = _combine_tiles(partial, tiles)
+    return out.reshape(tiles.padded_nodes, -1)[: tiles.num_nodes] \
+        .astype(x.dtype)
+
+
+def tiled_spmm_multihead(att, v, tiles: RowTiles):
+    """Per-head SpMM: ``att [E, H]``, ``v [N, H, Dh]`` → ``[N, H, Dh]``."""
+    ab = att.astype(v.dtype)[tiles.edge_slot]          # [B, Eb, H]
+    ab = jnp.where(tiles.slot_mask[..., None], ab, 0)
+    vg = v[tiles.col]                                  # [B, Eb, H, Dh]
+    vb = (vg * ab[..., None]).reshape(*ab.shape[:2], -1)
+    oh = _onehot_rows(tiles, vb.dtype)
+    partial = jnp.einsum("ber,bed->brd", oh, vb,
+                         preferred_element_type=jnp.float32)
+    out = _combine_tiles(partial, tiles)
+    return out.reshape(tiles.padded_nodes, v.shape[1], v.shape[2]) \
+        [: tiles.num_nodes].astype(v.dtype)

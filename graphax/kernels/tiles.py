@@ -1,0 +1,91 @@
+"""Host-side row-tiled edge layout for scatter-free segment reductions.
+
+Layout invariants:
+- edges are sorted by ``row`` (``build.build_graph`` coalesces to
+  (row, col) order);
+- the node range is padded to ``T = ceil(N/tile)`` tiles of ``tile`` rows;
+- edges are re-packed into ``B`` blocks of ``block_edges`` slots, each block
+  containing only edges whose row lies in a single tile (blocks of one tile
+  are consecutive);
+- padded slots carry ``local_row = tile`` (one_hot maps it to zero) and a
+  False mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RowTiles:
+    """Static block tables (arrays device-resident, sizes static)."""
+
+    edge_slot: jax.Array    # [B, Eb] int32 — original edge index (pad: 0)
+    slot_mask: jax.Array    # [B, Eb] bool — real edge?
+    col: jax.Array          # [B, Eb] int32 — column (gather) index
+    local_row: jax.Array    # [B, Eb] int32 in [0, tile]; == tile for pads
+    tile_idx: jax.Array     # [B] int32 — output tile of each block
+    num_tiles: int = dataclasses.field(metadata=dict(static=True))
+    tile: int = dataclasses.field(metadata=dict(static=True))
+    block_edges: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.tile_idx.shape[0])
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_tiles * self.tile
+
+
+def build_row_tiles(row, col, num_nodes: int, num_edges: int = None,
+                    tile: int = 128, block_edges: int = 512) -> RowTiles:
+    """Build the block tables from host (or device) edge arrays sorted by
+    row. ``num_edges`` masks trailing padding in the input buffers."""
+    import jax.numpy as jnp
+
+    row = np.asarray(row)
+    col_np = np.asarray(col)
+    e = int(num_edges) if num_edges is not None else row.shape[0]
+    row, col_np = row[:e], col_np[:e]
+    assert (np.diff(row) >= 0).all(), "edges must be sorted by row"
+
+    t = (num_nodes + tile - 1) // tile
+    tile_of_edge = row // tile
+    # block boundaries: every `block_edges` edges AND every tile change
+    counts = np.bincount(tile_of_edge, minlength=t)
+    blocks = []
+    start = 0
+    for ti in range(t):
+        d = counts[ti]
+        off = 0
+        while off < d:
+            take = min(block_edges, d - off)
+            blocks.append((ti, start + off, take))
+            off += take
+        start += d
+    b = max(len(blocks), 1)
+
+    edge_slot = np.zeros((b, block_edges), np.int32)
+    slot_mask = np.zeros((b, block_edges), bool)
+    col_b = np.zeros((b, block_edges), np.int32)
+    local_row = np.full((b, block_edges), tile, np.int32)
+    tile_idx = np.zeros((b,), np.int32)
+    for i, (ti, s, take) in enumerate(blocks):
+        sl = np.arange(s, s + take)
+        edge_slot[i, :take] = sl
+        slot_mask[i, :take] = True
+        col_b[i, :take] = col_np[sl]
+        local_row[i, :take] = row[sl] - ti * tile
+        tile_idx[i] = ti
+
+    return RowTiles(
+        edge_slot=jnp.asarray(edge_slot), slot_mask=jnp.asarray(slot_mask),
+        col=jnp.asarray(col_b), local_row=jnp.asarray(local_row),
+        tile_idx=jnp.asarray(tile_idx), num_tiles=t, tile=tile,
+        block_edges=block_edges, num_nodes=int(num_nodes))

@@ -116,7 +116,10 @@ def round_up(x: int, multiple: int) -> int:
 def build_graph(row, col, num_nodes: int, edge_weight=None,
                 self_loop_weight: float = 0.0, make_undirected: bool = False,
                 pad_multiple: int = 128,
-                extra_edge_capacity: int = 0) -> Graph:
+                extra_edge_capacity: int = 0,
+                tiles: bool = False,
+                strategy: str = "auto",
+                dense_threshold: int = 20_000) -> Graph:
     """One-stop host-side pipeline: [undirected] → [self-loops] → coalesce →
     sort by (row, col) → pad to a static bucket → Graph.
 
@@ -134,4 +137,16 @@ def build_graph(row, col, num_nodes: int, edge_weight=None,
         row, col, edge_weight = coalesce(row, col, edge_weight, num_nodes)
     e = int(row.shape[0])
     cap = round_up(e + int(extra_edge_capacity), pad_multiple)
-    return Graph.from_edges(row, col, num_nodes, edge_weight, edge_buffer_size=cap)
+    g = Graph.from_edges(row, col, num_nodes, edge_weight,
+                         edge_buffer_size=cap)
+    if strategy == "auto":
+        strategy = "dense" if num_nodes <= dense_threshold else "tiled"
+    if strategy == "tiled" or tiles:
+        from graphax.kernels.dispatch import attach_tiles
+
+        g = attach_tiles(g)
+        if strategy == "auto" or strategy == "tiled":
+            strategy = "tiled"
+    import dataclasses as _dc
+
+    return _dc.replace(g, strategy=strategy)

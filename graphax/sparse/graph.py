@@ -50,6 +50,14 @@ class Graph:
     num_edges: jax.Array
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     node_mask: Optional[jax.Array] = None
+    # optional row-tiled layout (graphax.kernels.RowTiles) enabling the
+    # scatter-free MXU segment-reduction path; None → XLA segment ops
+    tiles: Optional[object] = None
+    # compute strategy: 'edge' (XLA segment ops), 'tiled' (MXU one-hot
+    # reductions over row tiles), 'dense' (materialized [N,N] operator —
+    # fastest for N ≲ 20k; see graphax.kernels.dense_path)
+    strategy: str = dataclasses.field(default="edge",
+                                      metadata=dict(static=True))
 
     @property
     def edge_buffer_size(self) -> int:

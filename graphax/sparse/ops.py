@@ -102,7 +102,7 @@ def spmm(row, col, weight, x, num_nodes: int):
     (`src/function_laplacian_diffusion.py:39-58`) with gather + segment-sum.
     Padded edges must carry weight 0. ``x: [N, D] → [N, D]``.
     """
-    gathered = x[col] * weight[:, None]
+    gathered = x[col] * weight.astype(x.dtype)[:, None]
     return segment_sum(gathered, row, num_nodes)
 
 
