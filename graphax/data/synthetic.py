@@ -54,6 +54,7 @@ def make_sbm_dataset(num_nodes: int = 400, num_classes: int = 4,
     if num_development is None:
         num_development = max(min(num_nodes // 2, 1500),
                               num_per_class * num_classes + 10)
+    num_development = min(num_development, max(num_nodes - 10, 1))
     # the seeded dev pool may underrepresent a class; shrink num_per_class
     # until the reference split protocol is satisfiable
     npc = min(num_per_class, num_nodes)

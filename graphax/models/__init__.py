@@ -12,6 +12,7 @@
 """
 
 from graphax.models.gnn import GNNModel, make_gnn
+from graphax.models.gnn_knn import KNNGNNModel, make_gnn_knn
 from graphax.models.early import (
     make_accuracy_observer, best_accuracy_from_observer, evaluate_early_stop,
 )
@@ -19,7 +20,7 @@ from graphax.models.multimodal import make_multimodal_gnn
 from graphax.models.cgnn import make_cgnn
 
 __all__ = [
-    "GNNModel", "make_gnn",
+    "GNNModel", "make_gnn", "KNNGNNModel", "make_gnn_knn",
     "make_accuracy_observer", "best_accuracy_from_observer",
     "evaluate_early_stop", "make_multimodal_gnn", "make_cgnn",
 ]

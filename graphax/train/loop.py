@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphax.data.container import GraphData
-from graphax.models import make_gnn
+from graphax.models import make_gnn, make_gnn_knn
 from graphax.models.early import evaluate_early_stop, masked_accuracy
 from graphax.train.optimizers import get_optimizer
 
@@ -84,8 +84,11 @@ class Trainer:
         num_feat = data.num_features
         if cfg.use_labels:
             num_feat += 0  # label channels appended at call time
-        self.model = make_gnn(cfg, num_features=data.num_features,
-                              num_classes=data.num_classes)
+        # model selection mirrors `run_GNN.py:232-235`: the KNN-rewiring /
+        # fa-layer variant when those flags are set, plain GNN otherwise
+        maker = make_gnn_knn if (cfg.rewire_KNN or cfg.fa_layer) else make_gnn
+        self.model = maker(cfg, num_features=data.num_features,
+                           num_classes=data.num_classes)
         self.tx = get_optimizer(cfg.optimizer, cfg.lr, cfg.decay)
         self.fm, self.bm = Meter(), Meter()
         self._jit = jit
@@ -171,6 +174,33 @@ class Trainer:
             feat, data.y, data.train_mask, data.val_mask, data.test_mask,
             pos_encoding=data.pos_encoding)
 
+    def rewire_knn(self, state: TrainState):
+        """kNN-rewire the dataset graph every `rewire_KNN_epoch` epochs
+        (`run_GNN.py:252-254`). Rebuilds the jitted steps if the edge buffer
+        grew."""
+        from graphax.rewiring import apply_knn
+        import dataclasses
+
+        new_graph = apply_knn(self.cfg, self.model, state.params,
+                              state.model_state, self.data)
+        self._swap_graph(new_graph)
+
+    def rewire_edge_sampling(self, state: TrainState):
+        from graphax.rewiring import apply_edge_sampling
+
+        new_graph = apply_edge_sampling(self.cfg, self.model, state.params,
+                                        state.model_state, self.data)
+        self._swap_graph(new_graph)
+
+    def _swap_graph(self, new_graph):
+        import dataclasses
+
+        self.data = dataclasses.replace(self.data, graph=new_graph)
+        self._train_step = jax.jit(self._train_step_impl) if self._jit \
+            else self._train_step_impl
+        self._eval = jax.jit(self._eval_impl) if self._jit \
+            else self._eval_impl
+
     def fit(self, epochs: Optional[int] = None, log_every: int = 0,
             use_early_stop: Optional[bool] = None, seed: Optional[int] = None
             ) -> Dict[str, Any]:
@@ -186,6 +216,10 @@ class Trainer:
         history = []
         for epoch in range(1, epochs + 1):
             t0 = time.time()
+            if cfg.rewire_KNN and epoch % cfg.rewire_KNN_epoch == 0:
+                self.rewire_knn(state)
+            if cfg.edge_sampling and epoch % cfg.edge_sampling_epoch == 0:
+                self.rewire_edge_sampling(state)
             state, loss = self.train_step(state)
             if use_early_stop:
                 res = self.evaluate_early(state)
