@@ -12,6 +12,7 @@ from graphax.blocks.attention import make_attention_block
 from graphax.blocks.mixed import make_mixed_block
 from graphax.blocks.hard_attention import make_hard_attention_block
 from graphax.blocks.rewire_attention import make_rewire_attention_block
+from graphax.blocks.higher_order import make_higher_order_block
 
 
 def get_block(cfg, in_dim: int):
@@ -33,4 +34,5 @@ __all__ = [
     "BlockOutput", "normalize_graph", "integrate", "get_block",
     "make_constant_block", "make_attention_block", "make_mixed_block",
     "make_hard_attention_block", "make_rewire_attention_block",
+    "make_higher_order_block",
 ]

@@ -97,7 +97,8 @@ def integrate(cfg, func: DiffusionFunction, params, fstate: FuncState,
     t_end = float(cfg.time if t1 is None else t1)
     from graphax.functions.common import prepare_scalars
 
-    params = prepare_scalars(params, cfg, x.dtype)
+    x_dtype = jax.tree_util.tree_leaves(x)[0].dtype
+    params = prepare_scalars(params, cfg, x_dtype)
     rhs = rhs_override if rhs_override is not None else func.rhs
     reg = cfg.reg_coeffs() if train else ()
     reg_names = tuple(n for n, _ in reg)
@@ -105,7 +106,7 @@ def integrate(cfg, func: DiffusionFunction, params, fstate: FuncState,
     if reg_names:
         aug_rhs = make_regularized_rhs(rhs, reg_names)
         state0: Any = (x, init_reg_states(fstate.graph.num_nodes, reg_names,
-                                          x.dtype))
+                                          x_dtype))
         call = aug_rhs
     else:
         state0 = x

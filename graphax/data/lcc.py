@@ -18,6 +18,17 @@ def largest_connected_component(row, col, num_nodes: int
     largest weakly-connected component, with edges remapped to [0, n_lcc)."""
     row = np.asarray(row, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
+    from graphax import native
+
+    if native.available():
+        keep = native.largest_connected_component(row, col, num_nodes)
+        if keep is not None and len(keep) == num_nodes:
+            return np.arange(num_nodes), row, col
+        if keep is not None:
+            mapper = np.full(num_nodes, -1, dtype=np.int64)
+            mapper[keep] = np.arange(keep.shape[0])
+            edge_keep = (mapper[row] >= 0) & (mapper[col] >= 0)
+            return keep, mapper[row[edge_keep]], mapper[col[edge_keep]]
     adj = sp.coo_matrix((np.ones(len(row)), (row, col)),
                         shape=(num_nodes, num_nodes))
     n_comp, labels = sp.csgraph.connected_components(adj, directed=True,

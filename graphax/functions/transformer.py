@@ -168,7 +168,10 @@ def multiply_attention(params, cfg, graph, x, attention, v):
 
 def dense_rhs_ax(params, cfg, graph, x, y=None):
     """Fully dense attention RHS step (dense strategy, non-Beltrami): masked
-    QKᵀ softmax on the MXU, per-NFE — see graphax.kernels.dense_path."""
+    QKᵀ softmax on the MXU, per-NFE — see graphax.kernels.dense_path. On
+    TPU at sizes where materializing the [H, N, N] scores is expensive, the
+    Pallas flash kernel streams the softmax instead
+    (graphax.kernels.pallas_ops)."""
     from graphax.kernels.dense_path import dense_transformer_attention
 
     p = params
@@ -178,6 +181,23 @@ def dense_rhs_ax(params, cfg, graph, x, y=None):
         x_att = x
     q = _split_heads(linear_apply(p["Q"], x_att), cfg.heads)
     k = _split_heads(linear_apply(p["K"], x_att), cfg.heads)
+
+    n = graph.num_nodes
+    use_flash = (jax.default_backend() == "tpu"
+                 and cfg.attention_type == "scaled_dot"
+                 and cfg.attention_norm_idx == 0
+                 and not cfg.square_plus and not cfg.mix_features
+                 and not cfg.reweight_attention
+                 and n * n * cfg.heads * 4 > (1 << 28))
+    if use_flash:
+        from graphax.kernels.dense_path import dense_adjacency_mask
+        from graphax.kernels.pallas_ops import flash_attention_multihead
+
+        d_k = cfg.attention_dim // cfg.heads
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d_k, x.dtype))
+        mask = dense_adjacency_mask(graph)
+        out = flash_attention_multihead(q * scale, k, x, mask)  # [H, N, D]
+        return out.mean(axis=0).astype(x.dtype)
     att, _mask = dense_transformer_attention(p, cfg, graph, q, k)  # [H,N,N]
     if cfg.mix_features:
         v = _split_heads(linear_apply(p["V"], x_att), cfg.heads)

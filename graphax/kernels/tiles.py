@@ -56,6 +56,22 @@ def build_row_tiles(row, col, num_nodes: int, num_edges: int = None,
     assert (np.diff(row) >= 0).all(), "edges must be sorted by row"
 
     t = (num_nodes + tile - 1) // tile
+    from graphax import native
+
+    if native.available():
+        fast = native.row_tiles(row, col_np, num_nodes, tile, block_edges)
+        if fast is not None:
+            edge_slot_n, col_n, local_row_n, tile_idx_n = fast
+            mask = edge_slot_n >= 0
+            return RowTiles(
+                edge_slot=jnp.asarray(np.where(mask, edge_slot_n, 0)
+                                      .astype(np.int32)),
+                slot_mask=jnp.asarray(mask),
+                col=jnp.asarray(col_n.astype(np.int32)),
+                local_row=jnp.asarray(local_row_n.astype(np.int32)),
+                tile_idx=jnp.asarray(tile_idx_n.astype(np.int32)),
+                num_tiles=t, tile=tile, block_edges=block_edges,
+                num_nodes=int(num_nodes))
     tile_of_edge = row // tile
     # block boundaries: every `block_edges` edges AND every tile change
     counts = np.bincount(tile_of_edge, minlength=t)

@@ -40,6 +40,11 @@ def _as_edges(row, col, weight=None) -> Edges:
 def coalesce(row, col, weight=None, num_nodes: Optional[int] = None) -> Edges:
     """Sort edges by (row, col) and sum duplicate weights."""
     row, col, weight = _as_edges(row, col, weight)
+    from graphax import native
+
+    fast = native.coalesce(row, col, weight) if native.available() else None
+    if fast is not None:
+        return fast
     n = int(num_nodes if num_nodes is not None else (max(row.max(initial=-1), col.max(initial=-1)) + 1))
     key = row * n + col
     uniq, inv = np.unique(key, return_inverse=True)
@@ -79,6 +84,13 @@ def to_undirected(row, col, num_nodes: Optional[int] = None) -> Tuple[np.ndarray
     r = np.concatenate([row, col]).astype(np.int64)
     c = np.concatenate([col, row]).astype(np.int64)
     n = int(num_nodes if num_nodes is not None else (max(r.max(initial=-1), c.max(initial=-1)) + 1))
+    from graphax import native
+
+    fast = native.to_undirected(np.asarray(row, np.int64),
+                                np.asarray(col, np.int64), n) \
+        if native.available() else None
+    if fast is not None:
+        return fast
     key = np.unique(r * n + c)
     return (key // n).astype(np.int64), (key % n).astype(np.int64)
 

@@ -159,3 +159,78 @@ def test_vmap_batched_spmm():
     dense = dense_from(EDGE[0], EDGE[1], np.ones(4))
     for b in range(B):
         np.testing.assert_allclose(out[b], dense @ np.asarray(xs[b]), rtol=1e-5)
+
+
+def test_native_builders_match_numpy():
+    """C++ graph builder == NumPy fallback on every op."""
+    import os
+    from graphax import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    row = rng.randint(0, 50, 300)
+    col = rng.randint(0, 50, 300)
+    w = rng.rand(300)
+
+    os.environ["GRAPHAX_NO_NATIVE"] = "1"
+    try:
+        r_np, c_np, w_np = build.coalesce(row, col, w, 50)
+        u_np = build.to_undirected(row, col, 50)
+    finally:
+        del os.environ["GRAPHAX_NO_NATIVE"]
+
+    r_n, c_n, w_n = native.coalesce(row, col, w)
+    np.testing.assert_array_equal(r_n, r_np)
+    np.testing.assert_array_equal(c_n, c_np)
+    np.testing.assert_allclose(w_n, w_np, rtol=1e-12)
+
+    u_n = native.to_undirected(row, col, 50)
+    np.testing.assert_array_equal(u_n[0], u_np[0])
+    np.testing.assert_array_equal(u_n[1], u_np[1])
+
+    sl_n = native.add_self_loops(r_np, c_np, w_np, 0.7, 50)
+    sl_np = build.add_self_loops(r_np, c_np, w_np, 0.7, 50)
+    np.testing.assert_array_equal(sl_n[0], sl_np[0])
+    np.testing.assert_allclose(sl_n[2], sl_np[2], rtol=1e-12)
+
+
+def test_native_lcc_matches_scipy():
+    from graphax import native
+    from graphax.data.lcc import largest_connected_component
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    # two components: 0-9 chain and 10-14 chain
+    row = np.r_[np.arange(9), np.arange(10, 14)]
+    col = np.r_[np.arange(1, 10), np.arange(11, 15)]
+    keep = native.largest_connected_component(row, col, 15)
+    np.testing.assert_array_equal(keep, np.arange(10))
+    keep2, r2, c2 = largest_connected_component(row, col, 15)
+    np.testing.assert_array_equal(keep2, np.arange(10))
+
+
+def test_native_row_tiles_match():
+    import dataclasses
+    import os
+    from graphax import native
+    from graphax.kernels.tiles import build_row_tiles
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(1)
+    row = np.sort(rng.randint(0, 300, 900))
+    col = rng.randint(0, 300, 900)
+    t_native = build_row_tiles(row, col, 300, tile=128, block_edges=64)
+    os.environ["GRAPHAX_NO_NATIVE"] = "1"
+    try:
+        t_numpy = build_row_tiles(row, col, 300, tile=128, block_edges=64)
+    finally:
+        del os.environ["GRAPHAX_NO_NATIVE"]
+    np.testing.assert_array_equal(t_native.tile_idx, t_numpy.tile_idx)
+    np.testing.assert_array_equal(t_native.local_row, t_numpy.local_row)
+    np.testing.assert_array_equal(t_native.col, t_numpy.col)
+    np.testing.assert_array_equal(t_native.slot_mask, t_numpy.slot_mask)
