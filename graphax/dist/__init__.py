@@ -22,9 +22,15 @@ from graphax.dist.sharded import (
     sharded_spmm_allgather, sharded_spmm_halo, make_sharded_diffusion_step,
 )
 from graphax.dist.data_parallel import make_dp_train_step
+from graphax.dist.sharded_attention import (
+    make_sharded_attention_rhs, distributed_masked_quantile,
+    sharded_knn_candidates,
+)
 
 __all__ = [
     "make_mesh", "local_mesh", "EdgePartition", "partition_graph",
     "sharded_spmm_allgather", "sharded_spmm_halo",
     "make_sharded_diffusion_step", "make_dp_train_step",
+    "make_sharded_attention_rhs", "distributed_masked_quantile",
+    "sharded_knn_candidates",
 ]

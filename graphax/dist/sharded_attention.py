@@ -1,0 +1,136 @@
+"""Sharded transformer-attention diffusion (multi-chip GRAND-nl).
+
+Extends the halo-exchange machinery to the full SDDMM → segment-softmax →
+SpMM triple per RHS evaluation. Owner-computes edge placement makes every
+row-indexed reduction shard-local:
+
+- q[row] is local (rows owned by the shard);
+- k[col] and x[col] come from the same halo all_to_all that the sharded
+  SpMM uses — ONE exchange of the node state per NFE serves the whole RHS
+  (SDDMM keys, attention values, and diffusion gathers), because q/k are
+  projections of the exchanged state computed shard-locally;
+- the softmax over the row index needs no communication at all.
+
+Also provides the distributed quantile for sharded hard attention
+(SURVEY §7.3 item 6): an all_gather of per-shard histograms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graphax.dist.partition import EdgePartition
+from graphax.dist.sharded import halo_exchange
+
+NEG = -1e30
+EPS = 1e-16
+
+
+def make_sharded_attention_rhs(mesh: Mesh, part: EdgePartition, cfg,
+                               axis_name: str = "graph"):
+    """Returns ``rhs(att_params, alpha_beta, xs [P, Nb, D], x0s) -> dxs``
+    computing the full GRAND-nl step on stacked shards.
+
+    ``att_params``: {'Q': {'w','b'}, 'K': {...}} transformer projections
+    (replicated). scaled_dot scores, softmax over rows, head-mean SpMM."""
+    tables = (jnp.asarray(part.local_row), jnp.asarray(part.local_col),
+              jnp.asarray(part.edge_mask), jnp.asarray(part.send_idx),
+              jnp.asarray(part.halo_gather))
+    spec = P(axis_name)
+    heads = cfg.heads
+    d_k = cfg.attention_dim // heads
+    nb = part.block_size
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), spec, spec, (spec,) * 5),
+        out_specs=spec)
+    def run(att_params, ab, xs, x0s, tbl):
+        local_row, local_col, edge_mask, send_idx, halo_gather = \
+            tuple(t[0] for t in tbl)
+        x = xs[0]
+        x0 = x0s[0]
+
+        # ONE halo exchange of the raw state per evaluation
+        halo = halo_exchange(x, send_idx, halo_gather, part.num_shards,
+                             part.pair_size, axis_name)
+        x_ext = jnp.concatenate([x, halo], axis=0)      # [Nb+H, D]
+
+        q = x @ att_params["Q"]["w"] + att_params["Q"]["b"]
+        k_ext = x_ext @ att_params["K"]["w"] + att_params["K"]["b"]
+        q = q.reshape(nb, heads, d_k)
+        k_ext = k_ext.reshape(-1, heads, d_k)
+
+        scores = jnp.einsum(
+            "ehd,ehd->eh", q[local_row],
+            k_ext[local_col] / jnp.sqrt(jnp.asarray(d_k, x.dtype)))
+        scores = jnp.where(edge_mask[:, None], scores, NEG)
+        # softmax over rows is shard-local (rows owned here)
+        smax = jax.ops.segment_max(scores, local_row, num_segments=nb)
+        smax = jnp.where(smax <= NEG / 2, 0.0, smax)
+        e = jnp.exp(scores - smax[local_row])
+        e = jnp.where(edge_mask[:, None], e, 0.0)
+        denom = jax.ops.segment_sum(e, local_row, num_segments=nb)
+        att = e / (denom[local_row] + EPS)
+        mean_att = att.mean(axis=1)
+
+        gathered = x_ext[local_col] * mean_att[:, None]
+        ax = jax.ops.segment_sum(gathered, local_row, num_segments=nb)
+
+        alpha, beta = ab[0], ab[1]
+        f = alpha * (ax - x)
+        f = f + beta * x0
+        return f[None]
+
+    def rhs(att_params, alpha_beta, xs, x0s):
+        return run(att_params, jnp.asarray(alpha_beta), xs, x0s, tables)
+
+    return rhs
+
+
+def distributed_masked_quantile(mesh: Mesh, axis_name: str = "graph",
+                                num_bins: int = 2048):
+    """Approximate global quantile over sharded per-edge values via psum'd
+    histograms — the sharded form of `masked_quantile` that the distributed
+    hard-attention block needs (per-shard sorts cannot see the global
+    distribution)."""
+
+    def quantile_local(values, mask, q, lo, hi):
+        """Callable INSIDE shard_map: values [E_local], mask, q scalar."""
+        width = (hi - lo) / num_bins
+        idx = jnp.clip(((values - lo) / width).astype(jnp.int32), 0,
+                       num_bins - 1)
+        hist = jax.ops.segment_sum(mask.astype(jnp.float32), idx,
+                                   num_segments=num_bins)
+        hist = jax.lax.psum(hist, axis_name)
+        total = jnp.sum(hist)
+        cdf = jnp.cumsum(hist) / jnp.maximum(total, 1.0)
+        bin_idx = jnp.argmax(cdf >= q)
+        return lo + (bin_idx.astype(values.dtype) + 0.5) * width
+
+    return quantile_local
+
+
+def sharded_knn_candidates(mesh: Mesh, k: int, axis_name: str = "graph"):
+    """Sharded kNN: each shard owns a row block of embeddings; all_gather
+    the full embedding matrix (kNN is epoch-boundary work — bandwidth is
+    fine), compute local top-k on the MXU (SURVEY §2.8 'sharded kNN:
+    per-shard compute + allgather merge')."""
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=P(axis_name),
+                       out_specs=P(axis_name))
+    def run(zs):
+        z_local = zs[0]                                   # [Nb, D]
+        z_full = jax.lax.all_gather(z_local, axis_name, axis=0, tiled=True)
+        sq_l = jnp.sum(z_local * z_local, axis=-1)
+        sq_f = jnp.sum(z_full * z_full, axis=-1)
+        d = sq_l[:, None] + sq_f[None, :] - 2.0 * (z_local @ z_full.T)
+        _, idx = jax.lax.top_k(-d, k)
+        return idx[None]                                  # [1, Nb, k]
+
+    return run

@@ -126,3 +126,84 @@ def test_dp_train_step():
     assert losses[-1] < losses[0] * 0.1
     np.testing.assert_allclose(np.asarray(params["w"]),
                                [1., -2., 3., 0.5], atol=0.3)
+
+
+def test_sharded_attention_rhs_matches_single_device():
+    """Full GRAND-nl RHS (SDDMM + softmax + SpMM) sharded over 4 devices
+    equals the single-device transformer RHS."""
+    from graphax import Config
+    from graphax.dist import make_sharded_attention_rhs
+    from graphax.functions import get_function
+    from graphax.functions.common import FuncState
+    import dataclasses
+
+    cfg = Config(function="transformer", heads=2, attention_dim=16,
+                 hidden_dim=8, attention_type="scaled_dot",
+                 attention_norm_idx=0, self_loop_weight=1.0,
+                 add_source=True)
+    g = random_graph(n=64, e=300, seed=7, self_loop=1.0)
+    g = dataclasses.replace(g, strategy="edge")
+    mesh = make_mesh((4,), ("graph",))
+    part = partition_graph(g, 4)
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(g.num_nodes, 8).astype(np.float32)
+    x0 = rng.randn(g.num_nodes, 8).astype(np.float32)
+
+    func = get_function(cfg, 8)
+    params = func.init(jax.random.PRNGKey(9))
+    params["att"]["Q"]["w"] = params["att"]["Q"]["w"] + \
+        0.3 * jax.random.normal(jax.random.PRNGKey(10), (8, 16))
+    params["att"]["K"]["w"] = params["att"]["K"]["w"] + \
+        0.3 * jax.random.normal(jax.random.PRNGKey(11), (8, 16))
+
+    # single device (edge weights = raw ones; sharded path uses raw too)
+    dx_1 = func.rhs(params, FuncState(graph=g, x0=jnp.asarray(x0)), 0.0,
+                    jnp.asarray(x))
+
+    rhs_sh = make_sharded_attention_rhs(mesh, part, cfg)
+    alpha = jax.nn.sigmoid(params["alpha_train"])
+    ab = jnp.stack([alpha, params["beta_train"]])
+    xs = jnp.asarray(shard_nodes(x, part))
+    x0s = jnp.asarray(shard_nodes(x0, part))
+    dxs = rhs_sh(params["att"], ab, xs, x0s)
+    dx_sh = unshard_nodes(np.asarray(dxs), part)
+    np.testing.assert_allclose(dx_sh, np.asarray(dx_1), rtol=2e-4, atol=1e-5)
+
+
+def test_distributed_quantile():
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from graphax.dist import distributed_masked_quantile
+    import functools
+
+    mesh = make_mesh((4,), ("graph",))
+    qfn = distributed_masked_quantile(mesh)
+    rng = np.random.RandomState(0)
+    vals = rng.rand(4, 1000).astype(np.float32)
+    mask = np.ones((4, 1000), bool)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P("graph"), P("graph")), out_specs=P())
+    def run(v, m):
+        return qfn(v[0], m[0], 0.75, 0.0, 1.0)
+
+    got = float(np.ravel(np.asarray(run(jnp.asarray(vals),
+                                        jnp.asarray(mask))))[0])
+    want = float(np.quantile(vals, 0.75))
+    assert abs(got - want) < 0.01  # histogram approximation
+
+
+def test_sharded_knn():
+    from graphax.dist import sharded_knn_candidates
+
+    mesh = make_mesh((4,), ("graph",))
+    rng = np.random.RandomState(1)
+    z = rng.randn(64, 6).astype(np.float32)
+    zs = z.reshape(4, 16, 6)
+    knn = sharded_knn_candidates(mesh, k=5)
+    idx = np.asarray(knn(jnp.asarray(zs))).reshape(64, 5)
+    d = ((z[:, None] - z[None]) ** 2).sum(-1)
+    for i in range(64):
+        kth = np.sort(d[i])[4]
+        assert all(d[i, j] <= kth + 1e-5 for j in idx[i])
