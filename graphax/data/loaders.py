@@ -28,6 +28,9 @@ from graphax.sparse import build
 PLANETOID = ("Cora", "Citeseer", "Pubmed")
 AMAZON = ("Computers", "Photo")
 COAUTHOR = ("CoauthorCS",)
+from graphax.data.heterophilic import (  # noqa: E402
+    HET_SHAPES, HETEROPHILIC, get_fixed_splits, load_heterophilic,
+)
 
 # shape statistics for synthetic stand-ins (post-LCC where relevant)
 SHAPES = {
@@ -38,6 +41,7 @@ SHAPES = {
     "Photo": dict(num_nodes=7487, num_classes=8, num_features=745),
     "CoauthorCS": dict(num_nodes=18333, num_classes=15, num_features=6805),
     "ogbn-arxiv": dict(num_nodes=169343, num_classes=40, num_features=128),
+    **HET_SHAPES,
 }
 
 
@@ -60,8 +64,18 @@ def _finish(name, row, col, x, y, num_classes, *, use_lcc, self_loop_weight,
         tr, va, te = planetoid_split_masks(x.shape[0], num_classes, y)
     else:
         nd = 5000 if name == "CoauthorCS" else 1500
-        tr, va, te = set_train_val_test_split(split_seed, y,
-                                              num_development=nd)
+        nd = min(nd, max(x.shape[0] - 10, 1))
+        npc = 20
+        while npc > 1:
+            try:
+                tr, va, te = set_train_val_test_split(
+                    split_seed, y, num_development=nd, num_per_class=npc)
+                break
+            except ValueError:
+                npc //= 2
+        else:
+            tr, va, te = set_train_val_test_split(
+                split_seed, y, num_development=nd, num_per_class=1)
     import jax.numpy as jnp
 
     return GraphData(graph=graph, x=jnp.asarray(x, jnp.float32),
@@ -203,7 +217,8 @@ def load_ogbn_arxiv(data_dir: str):
 def get_dataset(cfg_or_name, data_dir: str = "./data",
                 use_lcc: Optional[bool] = None,
                 synthetic_fallback: bool = True,
-                split_seed: int = 12345) -> GraphData:
+                split_seed: int = 12345,
+                geom_gcn_split_idx: int = 0) -> GraphData:
     """Twin of the reference `get_dataset` (`src/graph_datasets/data.py:34-110`)
     + random-split re-draw. Accepts a Config or a dataset name."""
     if hasattr(cfg_or_name, "dataset"):
@@ -211,12 +226,14 @@ def get_dataset(cfg_or_name, data_dir: str = "./data",
         name = cfg.dataset
         self_loop = cfg.self_loop_weight
         planetoid_split = cfg.planetoid_split
+        geom_gcn_splits = cfg.geom_gcn_splits
         if use_lcc is None:
             use_lcc = cfg.not_lcc  # reference flag: default True = use LCC
     else:
         name = str(cfg_or_name)
         self_loop = 1.0
         planetoid_split = False
+        geom_gcn_splits = False
         if use_lcc is None:
             use_lcc = name != "ogbn-arxiv"
 
@@ -229,6 +246,13 @@ def get_dataset(cfg_or_name, data_dir: str = "./data",
         elif name == "ogbn-arxiv":
             row, col, x, y, nc, fixed_masks = load_ogbn_arxiv(data_dir)
             use_lcc = False
+        elif name in HETEROPHILIC:
+            row, col, x, y, nc = load_heterophilic(name, data_dir)
+            if geom_gcn_splits:
+                fm = get_fixed_splits(name, data_dir, geom_gcn_split_idx,
+                                      x.shape[0])
+                if fm is not None:
+                    fixed_masks = fm
         else:
             raise DatasetNotAvailable(f"unknown dataset {name!r}")
         return _finish(name, row, col, x, y, nc, use_lcc=use_lcc,
