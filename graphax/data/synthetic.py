@@ -47,6 +47,9 @@ def make_sbm_dataset(num_nodes: int = 400, num_classes: int = 4,
 
     prototypes = rng.randn(num_classes, num_features)
     x = prototypes[y] + feature_noise * rng.randn(num_nodes, num_features)
+    # unit overall scale (real benchmark features are normalized); the
+    # class-separability SNR — set by feature_noise — is unchanged
+    x = x / np.sqrt(1.0 + feature_noise ** 2)
 
     graph = build.build_graph(row, col, num_nodes, make_undirected=True,
                               self_loop_weight=self_loop_weight,
@@ -79,6 +82,6 @@ def make_synthetic_cora(seed: int = 0, self_loop_weight: float = 1.0
     """Cora-shaped SBM: 2485 nodes / ~10k directed edge slots / 1433 features
     / 7 classes, same split protocol as the reference (1500 dev, 20/class)."""
     return make_sbm_dataset(num_nodes=2485, num_classes=7, num_features=1433,
-                            p_in=0.0032, p_out=0.00025, feature_noise=2.5,
+                            p_in=0.0032, p_out=0.00025, feature_noise=18.0,
                             seed=seed, self_loop_weight=self_loop_weight,
                             num_development=1500, num_per_class=20)

@@ -74,6 +74,14 @@ def prepare_scalars(params, cfg, dtype):
     out = dict(params)
     out["_alpha_eff"] = alpha.astype(dtype)
     out["_beta_eff"] = params["beta_train"].astype(dtype)
+    att = params.get("att")
+    if isinstance(att, dict) and "output_var" in att:
+        # hoist the exp_kernel scalar algebra out of the solver loop too
+        att = dict(att)
+        att["_ov2"] = (att["output_var"] ** 2).astype(jnp.float32)
+        att["_inv2l2"] = (1.0 / (2.0 * att["lengthscale"] ** 2)) \
+            .astype(jnp.float32)
+        out["att"] = att
     return out
 
 

@@ -97,6 +97,8 @@ def _edge_scores(cfg, q_src, k_dst, p):
         return _cosine(q_c, k_c)
     if cfg.attention_type == "exp_kernel":
         sq = jnp.sum((q_src - k_dst) ** 2, axis=-1)
+        if "_ov2" in p:
+            return p["_ov2"] * jnp.exp(-sq * p["_inv2l2"])
         return p["output_var"] ** 2 * jnp.exp(-sq / (2 * p["lengthscale"] ** 2))
     raise ValueError(f"unknown attention_type {cfg.attention_type!r}")
 

@@ -74,11 +74,16 @@ def fused_attention_ax(cfg, att_params, tiles: RowTiles, x, edge_weight=None):
     dt = x.dtype
 
     q = linear_apply(att_params["Q"], x).astype(dt)     # [N, att_dim]
-    k = linear_apply(att_params["K"], x).astype(dt)
 
     oh = _onehot(tiles, dt)                             # [B, Eb, R]
     q_b = _broadcast_rows(oh, q, tiles)                 # [B, Eb, att]
-    k_b = k[tiles.col]                                  # [B, Eb, att]
+    # ONE gather of the state serves both the attention keys and the value
+    # SpMM: k[col] = x[col] @ K  computed per block on the MXU
+    xg = x[tiles.col]                                   # [B, Eb, D]
+    kw = att_params["K"]["w"].astype(dt)
+    kb_bias = att_params["K"]["b"].astype(dt)
+    k_b = jnp.einsum("bed,da->bea", xg, kw,
+                     preferred_element_type=jnp.float32).astype(dt) + kb_bias
     b, eb = q_b.shape[:2]
     q_h = q_b.reshape(b, eb, heads, d_k)
     k_h = k_b.reshape(b, eb, heads, d_k)
@@ -100,8 +105,11 @@ def fused_attention_ax(cfg, att_params, tiles: RowTiles, x, edge_weight=None):
     elif cfg.attention_type == "exp_kernel":
         sq = jnp.sum((q_h.astype(jnp.float32) - k_h.astype(jnp.float32)) ** 2,
                      axis=-1)
-        scores = att_params["output_var"] ** 2 * \
-            jnp.exp(-sq / (2 * att_params["lengthscale"] ** 2))
+        if "_ov2" in att_params:
+            scores = att_params["_ov2"] * jnp.exp(-sq * att_params["_inv2l2"])
+        else:
+            scores = att_params["output_var"] ** 2 * \
+                jnp.exp(-sq / (2 * att_params["lengthscale"] ** 2))
     else:
         raise ValueError(cfg.attention_type)
 
@@ -130,7 +138,7 @@ def fused_attention_ax(cfg, att_params, tiles: RowTiles, x, edge_weight=None):
     denom_safe = jnp.where(denom_b > 0, denom_b, 1.0)
     w_mean = jnp.where(tiles.slot_mask, (e / denom_safe).mean(axis=-1), 0.0)
 
-    vb = x[tiles.col] * w_mean[..., None]               # [B, Eb, D]
+    vb = xg * w_mean[..., None]                         # [B, Eb, D]
     ax = _reduce_rows(oh, vb, tiles)                    # [N, D] f32
     return ax.astype(dt)
 

@@ -260,6 +260,10 @@ def _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol, max_nfe,
                (st.attempts < max_steps)
 
     if differentiable:
+        # rematerialize each step in the backward pass: without this the
+        # bounded scan stores every stage's activations (max_steps × state ×
+        # stages — tens of GB at large N), with it memory is O(carry)
+        @jax.checkpoint
         def body(st, _):
             st_next = step_once(st)
             keep = can_continue(st)
