@@ -22,7 +22,6 @@ leading axis so each device computes on its ``[Nb, D]`` block.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

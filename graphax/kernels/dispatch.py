@@ -7,7 +7,6 @@ segment ops run — numerically interchangeable, pinned by tests."""
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 

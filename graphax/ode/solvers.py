@@ -30,7 +30,6 @@ safety=0.9, ifactor=10, dfactor=0.2, Hairer initial-step selection).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

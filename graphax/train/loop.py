@@ -202,10 +202,16 @@ class Trainer:
             else self._eval_impl
 
     def fit(self, epochs: Optional[int] = None, log_every: int = 0,
-            use_early_stop: Optional[bool] = None, seed: Optional[int] = None
-            ) -> Dict[str, Any]:
+            use_early_stop: Optional[bool] = None, seed: Optional[int] = None,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 10) -> Dict[str, Any]:
         """The reference epoch loop (`run_GNN.py:249-275`): train, evaluate
-        (optionally with the early-stop integrator), track best val/test."""
+        (optionally with the early-stop integrator), track best val/test.
+
+        ``checkpoint_path``: save (params, opt state, epoch, best) every
+        ``checkpoint_every`` epochs and auto-resume from an existing file —
+        first-class checkpoint/resume (the reference only checkpoints inside
+        Ray trainables, SURVEY §5.4)."""
         cfg = self.cfg
         epochs = cfg.epoch if epochs is None else epochs
         if use_early_stop is None:
@@ -214,7 +220,12 @@ class Trainer:
         best = {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0,
                 "epoch": 0, "best_time": 0.0}
         history = []
-        for epoch in range(1, epochs + 1):
+        start_epoch = 1
+        if checkpoint_path is not None:
+            resumed = self._try_resume(checkpoint_path, state)
+            if resumed is not None:
+                state, best, start_epoch = resumed
+        for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             if cfg.rewire_KNN and epoch % cfg.rewire_KNN_epoch == 0:
                 self.rewire_knn(state)
@@ -245,4 +256,44 @@ class Trainer:
                       f"{loss:.4f} | nfe {h['nfe']} | train {train_acc:.4f} "
                       f"| val {val_acc:.4f} | test {test_acc:.4f} | best "
                       f"val {best['val_acc']:.4f}")
+            if checkpoint_path is not None and \
+                    epoch % checkpoint_every == 0:
+                self._save_ckpt(checkpoint_path, state, best, epoch)
+        if checkpoint_path is not None:
+            self._save_ckpt(checkpoint_path, state, best, epochs)
         return {"best": best, "history": history, "state": state}
+
+    def _save_ckpt(self, path, state: TrainState, best, epoch: int):
+        from graphax.train.checkpoint import save_checkpoint
+
+        save_checkpoint(path, {
+            "params": state.params, "model_state": state.model_state,
+            "opt_state": state.opt_state, "rng": state.rng,
+            "best": {k: jnp.asarray(v) for k, v in best.items()},
+            "epoch": jnp.asarray(epoch),
+        })
+
+    def _try_resume(self, path, template_state: TrainState):
+        import os
+
+        from graphax.train.checkpoint import load_checkpoint
+
+        real = path if path.endswith(".npz") else path + ".npz"
+        if not os.path.exists(real):
+            return None
+        like = {
+            "params": template_state.params,
+            "model_state": template_state.model_state,
+            "opt_state": template_state.opt_state,
+            "rng": template_state.rng,
+            "best": {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0,
+                     "epoch": 0, "best_time": 0.0},
+            "epoch": 0,
+        }
+        tree = load_checkpoint(real, like=like)
+        state = TrainState(params=tree["params"],
+                           model_state=tree["model_state"],
+                           opt_state=tree["opt_state"], rng=tree["rng"])
+        best = {k: float(v) for k, v in tree["best"].items()}
+        best["epoch"] = int(best["epoch"])
+        return state, best, int(tree["epoch"]) + 1

@@ -1,0 +1,87 @@
+"""Accuracy smoke-report: train every tuned best-params config end-to-end
+(on the shape-matched synthetic stand-ins when raw data is absent) and
+record best val/test accuracy, NFE, and epoch times → RESULTS.md.
+
+This exercises the full per-dataset path matrix on real hardware: dopri5 vs
+adjoint(adaptive_heun/dopri5/rk4), attention vs hard-attention blocks,
+square_plus, all four attention score types, dense vs tiled strategies.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_all(epochs_small=10, epochs_large=3, datasets=None, out_path=None):
+    from graphax.data import get_dataset
+    from graphax.train import Trainer, best_config, BEST_PARAMS
+
+    rows = []
+    names = datasets or list(BEST_PARAMS)
+    for name in names:
+        cfg = best_config(name)
+        big = name in ("ogbn-arxiv",)
+        epochs = epochs_large if big else epochs_small
+        t0 = time.time()
+        try:
+            data = get_dataset(cfg, data_dir="./data")
+            trainer = Trainer(cfg, data)
+            out = trainer.fit(epochs=epochs, log_every=0,
+                              use_early_stop=not cfg.no_early and not big)
+            steady = [h["time"] for h in out["history"][2:]] or \
+                [h["time"] for h in out["history"]]
+            rows.append(dict(
+                dataset=name, block=cfg.block, method=cfg.method,
+                adjoint=cfg.adjoint, adjoint_method=cfg.adjoint_method,
+                strategy=data.graph.strategy, epochs=epochs,
+                best_val=round(out["best"]["val_acc"], 4),
+                best_test=round(out["best"]["test_acc"], 4),
+                mean_nfe=round(float(np.mean(
+                    [h["nfe"] for h in out["history"]])), 1),
+                epoch_s=round(float(np.mean(steady)), 3),
+                total_s=round(time.time() - t0, 1),
+                ok=True))
+        except Exception as e:  # record failures instead of dying
+            rows.append(dict(dataset=name, ok=False,
+                             error=f"{type(e).__name__}: {e}",
+                             total_s=round(time.time() - t0, 1)))
+        print(json.dumps(rows[-1]), flush=True)
+
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write("# RESULTS — tuned-config training smoke report\n\n")
+            f.write("Synthetic shape-matched stand-ins (zero-egress env); "
+                    "linear-probe-hard SBMs where graph structure is "
+                    "load-bearing. Full best-params configs, real "
+                    "solver/adjoint paths, measured on 1x TPU v5e.\n\n")
+            f.write("| dataset | block | solver | strategy | val | test | "
+                    "NFE/ep | s/epoch |\n|---|---|---|---|---|---|---|---|\n")
+            for r in rows:
+                if r.get("ok"):
+                    solver = r["method"] + (
+                        f"+adj({r['adjoint_method']})" if r["adjoint"]
+                        else "")
+                    f.write(f"| {r['dataset']} | {r['block']} | {solver} | "
+                            f"{r['strategy']} | {r['best_val']} | "
+                            f"{r['best_test']} | {r['mean_nfe']} | "
+                            f"{r['epoch_s']} |\n")
+                else:
+                    f.write(f"| {r['dataset']} | FAILED: {r['error'][:60]} "
+                            f"| | | | | | |\n")
+    return rows
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs_small", type=int, default=10)
+    ap.add_argument("--epochs_large", type=int, default=3)
+    ap.add_argument("--datasets", nargs="*", default=None)
+    ap.add_argument("--out", default="RESULTS.md")
+    args = ap.parse_args()
+    run_all(args.epochs_small, args.epochs_large, args.datasets, args.out)

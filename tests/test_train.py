@@ -127,3 +127,19 @@ def test_split_protocol():
     # deterministic given seed
     tr2, _, _ = set_train_val_test_split(12345, y, 1500, 20)
     np.testing.assert_array_equal(tr, tr2)
+
+
+def test_fit_checkpoint_resume(tmp_path):
+    """Trainer checkpoints and resumes mid-run (SURVEY §5.4)."""
+    data = make_sbm_dataset(num_nodes=120, num_classes=3, num_features=10,
+                            p_in=0.12, p_out=0.008, seed=11)
+    cfg = small_cfg(epoch=6)
+    path = str(tmp_path / "run")
+    t1 = Trainer(cfg, data)
+    out1 = t1.fit(epochs=4, checkpoint_path=path, checkpoint_every=2)
+    # resume into more epochs: picks up at epoch 5
+    t2 = Trainer(cfg, data)
+    out2 = t2.fit(epochs=6, checkpoint_path=path, checkpoint_every=2)
+    assert out2["history"][0]["epoch"] == 5
+    assert len(out2["history"]) == 2
+    assert out2["best"]["val_acc"] >= out1["best"]["val_acc"] - 1e-9
