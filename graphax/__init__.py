@@ -21,3 +21,25 @@ __version__ = "0.1.0"
 
 from graphax.sparse.graph import Graph  # noqa: F401
 from graphax.train.config import Config  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy convenience exports (keep base import light)
+    if name in ("odeint", "odeint_adjoint", "Observer"):
+        import graphax.ode as m
+
+        return getattr(m, name)
+    if name in ("Trainer", "best_config", "BEST_PARAMS"):
+        import graphax.train as m
+
+        return getattr(m, name)
+    if name in ("get_dataset", "make_sbm_dataset"):
+        import graphax.data as m
+
+        return getattr(m, name)
+    if name in ("make_gnn", "make_gnn_knn", "make_multimodal_gnn",
+                "make_cgnn"):
+        import graphax.models as m
+
+        return getattr(m, name)
+    raise AttributeError(name)

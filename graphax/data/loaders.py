@@ -269,8 +269,13 @@ def get_dataset(cfg_or_name, data_dir: str = "./data",
               f"(N={shape['num_nodes']})", file=sys.stderr)
         avg_deg = 4.0
         p_in = min(6 * avg_deg / shape["num_nodes"], 0.5)
+        # feature noise scaled so a linear probe on raw features is weak
+        # (~0.25 for Cora-like shapes): class separation grows with
+        # sqrt(num_features), so noise must too
+        noise = max(1.0, float(np.sqrt(shape["num_features"])) / 2.1)
         return make_sbm_dataset(
             num_nodes=shape["num_nodes"], num_classes=shape["num_classes"],
             num_features=shape["num_features"], p_in=p_in, p_out=p_in / 15,
+            feature_noise=noise,
             seed=split_seed % (2 ** 31), self_loop_weight=self_loop,
             num_development=5000 if name == "CoauthorCS" else 1500)

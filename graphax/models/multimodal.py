@@ -32,6 +32,7 @@ class MultimodalGNN(NamedTuple):
     apply: Any          # (params, graph, x, *, train, rng, x2) -> (logits, aux)
     apply_batched: Any  # vmapped over leading batch axis of x (and x2)
     forward_plot_path: Any
+    forward_plot_t: Any
     block: Any
 
 
@@ -86,5 +87,20 @@ def make_multimodal_gnn(cfg, num_nodes: int, num_features: int,
         _, path = jax.lax.scan(step, x, None, length=frames)
         return jnp.concatenate([x[None], path], axis=0)
 
+    def forward_plot_t(params, graph, x, frames: int, *, x2=None):
+        """States at `frames` evenly-spaced intermediate times of ONE
+        [0, T] trajectory (`forward_plot_T`, `:51-72`): solved piecewise so
+        frame k is x(k·T/frames)."""
+        seg = cfg.time / frames
+
+        def step(z, _):
+            out = block.forward(params["block"], graph, z, train=False,
+                                y=x2, t1=seg)
+            return out.z, out.z
+
+        _, path = jax.lax.scan(step, x, None, length=frames)
+        return jnp.concatenate([x[None], path], axis=0)
+
     return MultimodalGNN(init=init, apply=apply, apply_batched=apply_batched,
-                         forward_plot_path=forward_plot_path, block=block)
+                         forward_plot_path=forward_plot_path,
+                         forward_plot_t=forward_plot_t, block=block)

@@ -81,9 +81,6 @@ class Trainer:
     def __init__(self, cfg, data: GraphData, jit: bool = True):
         self.cfg = cfg
         self.data = data
-        num_feat = data.num_features
-        if cfg.use_labels:
-            num_feat += 0  # label channels appended at call time
         # model selection mirrors `run_GNN.py:232-235`: the KNN-rewiring /
         # fa-layer variant when those flags are set, plain GNN otherwise
         maker = make_gnn_knn if (cfg.rewire_KNN or cfg.fa_layer) else make_gnn
@@ -105,8 +102,9 @@ class Trainer:
         return TrainState(params=params, model_state=model_state,
                           opt_state=self.tx.init(params), rng=k2)
 
-    def _prepare_features(self, rng, train: bool):
-        cfg, data = self.cfg, self.data
+    def _prepare_features(self, rng, train: bool, data=None):
+        cfg = self.cfg
+        data = self.data if data is None else data
         feat = data.x
         loss_mask = data.train_mask
         if cfg.use_labels:
@@ -120,12 +118,16 @@ class Trainer:
             feat = add_labels(feat, data.y, label_mask, data.num_classes)
         return feat, loss_mask
 
-    def _train_step_impl(self, state: TrainState):
-        cfg, data = self.cfg, self.data
+    def _train_step_impl(self, state: TrainState, data: GraphData):
+        # `data` is a jit ARGUMENT (not a closure): closures bake node
+        # features into the compiled program as constants — a 500MB upload
+        # for CoauthorCS-sized feature matrices
+        cfg = self.cfg
         rng, rng_labels, rng_model = jax.random.split(state.rng, 3)
 
         def loss_fn(params):
-            feat, loss_mask = self._prepare_features(rng_labels, train=True)
+            feat, loss_mask = self._prepare_features(rng_labels, train=True,
+                                                     data=data)
             logits, new_model_state, aux = self.model.apply(
                 params, state.model_state, data.graph, feat, train=True,
                 rng=rng_model, pos_encoding=data.pos_encoding)
@@ -143,9 +145,8 @@ class Trainer:
                                         updates)
         return TrainState(params, model_state, opt_state, rng), loss, aux
 
-    def _eval_impl(self, params, model_state):
-        data = self.data
-        feat, _ = self._prepare_features(None, train=False)
+    def _eval_impl(self, params, model_state, data: GraphData):
+        feat, _ = self._prepare_features(None, train=False, data=data)
         logits, _, aux = self.model.apply(params, model_state, data.graph,
                                           feat, train=False,
                                           pos_encoding=data.pos_encoding)
@@ -156,14 +157,14 @@ class Trainer:
     # -- epoch loop ----------------------------------------------------
 
     def train_step(self, state: TrainState):
-        state, loss, aux = self._train_step(state)
+        state, loss, aux = self._train_step(state, self.data)
         nfe = int(aux["nfe"])
         self.fm.update(nfe)
         self.bm.update(nfe)  # fwd+bwd NFE are fused under jit; see meters doc
         return state, float(loss)
 
     def evaluate(self, state: TrainState):
-        accs, aux = self._eval(state.params, state.model_state)
+        accs, aux = self._eval(state.params, state.model_state, self.data)
         return tuple(float(a) for a in accs)
 
     def evaluate_early(self, state: TrainState):
