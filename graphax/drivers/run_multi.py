@@ -16,7 +16,11 @@ import time
 def train_image_dataset(name: str = "MNIST", epochs: int = 2,
                         batch_size: int = 4, train_size: int = 32,
                         test_size: int = 16, data_dir: str = "./data",
-                        log: bool = True, seed: int = 0) -> dict:
+                        log: bool = True, seed: int = 0,
+                        dp_devices: int = 0) -> dict:
+    """``dp_devices > 0``: replicated-model data parallelism over a 'data'
+    mesh with psum'd gradients (the `nn.DataParallel` replacement) — the
+    batch splits across devices."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -42,17 +46,36 @@ def train_image_dataset(name: str = "MNIST", epochs: int = 2,
     xs_test, ys_test = ds.x[train_size:], ds.y[train_size:]
     graph = ds.graph
 
-    @jax.jit
-    def step(params, opt_state, xb, yb, rng):
-        def loss_fn(p):
+    if dp_devices:
+        from graphax.dist import make_dp_train_step, make_mesh
+
+        mesh = make_mesh((dp_devices,), ("data",))
+        assert batch_size % dp_devices == 0, \
+            "batch_size must divide over dp_devices"
+
+        def dp_loss(p, batch, rng):
+            xb, yb = batch
             logits, _ = model.apply_batched(p, graph, xb, train=True,
                                             rng=rng)
             logp = jax.nn.log_softmax(logits)
             return -jnp.mean(logp[jnp.arange(len(yb)), yb])
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        dp_step = make_dp_train_step(mesh, dp_loss, tx)
+
+        def step(params, opt_state, xb, yb, rng):
+            return dp_step(params, opt_state, (xb, yb), rng)
+    else:
+        @jax.jit
+        def step(params, opt_state, xb, yb, rng):
+            def loss_fn(p):
+                logits, _ = model.apply_batched(p, graph, xb, train=True,
+                                                rng=rng)
+                logp = jax.nn.log_softmax(logits)
+                return -jnp.mean(logp[jnp.arange(len(yb)), yb])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
     def accuracy(params, xb, yb):
@@ -71,7 +94,7 @@ def train_image_dataset(name: str = "MNIST", epochs: int = 2,
             params, opt_state, loss = step(params, opt_state,
                                            jnp.asarray(xb), jnp.asarray(yb),
                                            sub)
-            losses.append(float(loss))
+            losses.append(float(np.ravel(np.asarray(loss))[0]))
         acc = float(accuracy(params, jnp.asarray(xs_test),
                              jnp.asarray(ys_test)))
         history.append(dict(epoch=epoch, loss=float(np.mean(losses)),
@@ -153,6 +176,7 @@ def main(argv=None):
     p.add_argument("--train_size", type=int, default=32)
     p.add_argument("--test_size", type=int, default=16)
     p.add_argument("--data_dir", default="./data")
+    p.add_argument("--dp_devices", type=int, default=0)
     args = p.parse_args(argv)
     if args.im_dataset == "CLEVR":
         out = train_clevr_style(epochs=args.epoch,
@@ -163,7 +187,8 @@ def main(argv=None):
                                   batch_size=args.batch_size,
                                   train_size=args.train_size,
                                   test_size=args.test_size,
-                                  data_dir=args.data_dir)
+                                  data_dir=args.data_dir,
+                                  dp_devices=args.dp_devices)
     print(json.dumps({"history": out["history"]}))
     return out
 
