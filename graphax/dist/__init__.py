@@ -26,11 +26,12 @@ from graphax.dist.sharded_attention import (
     make_sharded_attention_rhs, distributed_masked_quantile,
     sharded_knn_candidates,
 )
+from graphax.dist.train_step import make_sharded_grand_trainer
 
 __all__ = [
     "make_mesh", "local_mesh", "EdgePartition", "partition_graph",
     "sharded_spmm_allgather", "sharded_spmm_halo",
     "make_sharded_diffusion_step", "make_dp_train_step",
     "make_sharded_attention_rhs", "distributed_masked_quantile",
-    "sharded_knn_candidates",
+    "sharded_knn_candidates", "make_sharded_grand_trainer",
 ]
