@@ -92,7 +92,11 @@ def main():
             return s * 0.99 + func.rhs(p, fs, 0.0, s).astype(s.dtype) * 0.01
         return step
 
-    fs_tiled = FuncState(graph=g_tiled, x0=x)
+    # the real dispatch path: make_fstate pre-blocks edge values for the
+    # Pallas SpMM custom_vjp and flags the eval-only fused attention kernels
+    from graphax.blocks.common import make_fstate
+
+    fs_tiled = make_fstate(g_tiled, x, train=False)
     fs_xla = FuncState(graph=g_xla, x0=x)
 
     t_att = bench_chained(rhs_step(f_att), x, fs_tiled, p_att)

@@ -37,7 +37,8 @@ def make_attention_block(cfg, in_dim: int) -> ODEBlock:
                 observer=None, max_steps=None) -> BlockOutput:
         g = normalize_graph(cfg, graph)
         att = attention_weights(params, g, x)        # [E, H]
-        fstate = make_fstate(g, x, attention=att.mean(axis=1), y=y)
+        fstate = make_fstate(g, x, attention=att.mean(axis=1), y=y,
+                             train=train)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)
 

@@ -49,18 +49,38 @@ def normalize_graph(cfg, graph: Graph, double_self_loops: bool = True) -> Graph:
     return graph.with_weights(w)
 
 
-def make_fstate(graph, x, attention=None, y=None) -> FuncState:
+def make_fstate(graph, x, attention=None, y=None,
+                train: bool = True) -> FuncState:
     """Assemble the per-forward FuncState; under the dense strategy the
     [N,N] operator is materialized HERE, once per forward, so the solver's
     RHS evaluations are pure matmuls (graphax.kernels.dense_path)."""
     dense_adj = None
+    wb = wb_t = None
     if graph.strategy == "dense":
         from graphax.kernels.dense_path import densify
 
         values = graph.edge_weight if attention is None else attention
         dense_adj = densify(graph, values)
+    else:
+        from graphax.kernels.pallas_tiled import blocked_values, pallas_tiled_ok
+
+        if pallas_tiled_ok(graph, x):
+            values = graph.edge_weight if attention is None else attention
+            wb = blocked_values(values, graph.tiles)
+            wb_t = blocked_values(values, graph.tiles_t)
+    fast_att = (not train and graph.strategy == "tiled"
+                and graph.tiles is not None and x.ndim == 2
+                and (jax.default_backend() == "tpu"
+                     or pallas_tiled_FORCE()))
     return FuncState(graph=graph, x0=jax.lax.stop_gradient(x),
-                     attention=attention, y=y, dense_adj=dense_adj)
+                     attention=attention, y=y, dense_adj=dense_adj,
+                     wb=wb, wb_t=wb_t, fast_attention=fast_att)
+
+
+def pallas_tiled_FORCE() -> bool:
+    from graphax.kernels import pallas_tiled
+
+    return pallas_tiled.FORCE
 
 
 def _split_diff_state(fstate: FuncState):
@@ -73,13 +93,15 @@ def _split_diff_state(fstate: FuncState):
         "edge_weight": fstate.graph.edge_weight,
         "y": fstate.y,
         "dense_adj": fstate.dense_adj,
+        "wb": fstate.wb,
+        "wb_t": fstate.wb_t,
     }
 
     def rebuild(d):
         return dataclasses.replace(
             fstate,
             x0=d["x0"], attention=d["attention"], y=d["y"],
-            dense_adj=d["dense_adj"],
+            dense_adj=d["dense_adj"], wb=d["wb"], wb_t=d["wb_t"],
             graph=fstate.graph.with_weights(d["edge_weight"]))
 
     return diff, rebuild

@@ -36,6 +36,7 @@ def make_mixed_block(cfg, in_dim: int) -> ODEBlock:
                 observer=None, max_steps=None) -> BlockOutput:
         g = normalize_graph(cfg, graph)
         fstate = make_fstate(g, x, attention=mixed_attention(params, g, x),
+                             train=train,
                              y=y)
         return integrate(cfg_noreg, func, params["func"], fstate, x,
                          train=train, t1=t1, observer=observer,

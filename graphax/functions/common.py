@@ -41,6 +41,16 @@ class FuncState:
     # densified [N, N] operator (dense strategy; built once per forward by
     # the block so every NFE is a plain matmul)
     dense_adj: Optional[jax.Array] = None
+    # edge values pre-blocked into the row-tiled / transpose layouts for the
+    # Pallas SpMM path (built once per forward; see kernels.pallas_tiled)
+    wb: Optional[jax.Array] = None
+    wb_t: Optional[jax.Array] = None
+    # eval-only fast path: route the per-NFE transformer attention RHS to the
+    # streaming Pallas kernels (kernels.pallas_attention). Off for training
+    # forwards — its custom_vjp backward replays the XLA path, which would
+    # make train steps strictly slower.
+    fast_attention: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     def edge_values(self) -> jax.Array:
         return self.graph.edge_weight if self.attention is None else self.attention

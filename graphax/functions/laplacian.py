@@ -36,6 +36,12 @@ def make_laplacian(cfg, in_dim: int) -> DiffusionFunction:
             ax = jnp.matmul(fstate.dense_adj.astype(x.dtype), x,
                             preferred_element_type=jnp.float32) \
                 .astype(x.dtype)
+        elif fstate.wb is not None:
+            # Pallas tiled path: fused gather-scale-reduce kernel with a
+            # custom vjp (transpose-SpMM + SDDMM kernels)
+            from graphax.kernels.pallas_tiled import spmm_pallas
+
+            ax = spmm_pallas(fstate.wb, fstate.wb_t, x, g.tiles, g.tiles_t)
         else:
             ax = spmm_auto(g, fstate.edge_values(), x)
         return apply_alpha_beta(params, cfg, ax, x, fstate.x0)

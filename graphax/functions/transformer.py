@@ -234,6 +234,13 @@ def make_transformer(cfg, in_dim: int) -> DiffusionFunction:
         if (use_dense_attention(g, cfg.heads)
                 and not (cfg.beltrami and cfg.attention_type == "exp_kernel")):
             ax = dense_rhs_ax(params["att"], cfg, g, x, fstate.y)
+        elif (fstate.fast_attention and g.tiles is not None
+                and fused_path_applicable(cfg)):
+            from graphax.kernels.pallas_attention import \
+                fused_attention_ax_pallas
+
+            ax = fused_attention_ax_pallas(cfg, params["att"], g.tiles, x,
+                                           edge_weight=g.edge_weight)
         elif g.tiles is not None and fused_path_applicable(cfg):
             ax = fused_attention_ax(cfg, params["att"], g.tiles, x,
                                     edge_weight=g.edge_weight)

@@ -17,15 +17,41 @@ from graphax.kernels.tiles import RowTiles, build_row_tiles
 from graphax.sparse import ops as xla_ops
 
 
-def attach_tiles(graph, tile: int = 128, block_edges: int = 1024):
+def attach_tiles(graph, tile: int = 128, block_edges: int = 1024,
+                 transpose: bool = True):
     """Return a copy of ``graph`` carrying the row-tiled layout (host-side
-    preprocessing; edge buffers must be sorted by row)."""
+    preprocessing; edge buffers must be sorted by row).
+
+    With ``transpose`` (default) a second, col-tiled layout is attached as
+    ``tiles_t`` — the transpose-SpMM tables the Pallas custom_vjp uses for
+    ``dx = Aᵀg`` (graphax.kernels.pallas_tiled). Its ``edge_slot`` is
+    remapped to index the ORIGINAL edge order."""
     import dataclasses
+
+    import numpy as np
 
     tiles = build_row_tiles(graph.row, graph.col, graph.num_nodes,
                             num_edges=int(graph.num_edges), tile=tile,
                             block_edges=block_edges)
-    return dataclasses.replace(graph, tiles=tiles)
+    tiles_t = None
+    if transpose:
+        e = int(graph.num_edges)
+        row = np.asarray(graph.row)[:e]
+        col = np.asarray(graph.col)[:e]
+        order = np.lexsort((row, col)).astype(np.int32)
+        tt = build_row_tiles(col[order], row[order], graph.num_nodes,
+                             num_edges=e, tile=tile,
+                             block_edges=block_edges)
+        # edge_slot currently indexes the col-sorted order; remap to the
+        # original buffer so one [E] value vector serves both layouts
+        import jax.numpy as _jnp
+
+        remapped = order[np.asarray(tt.edge_slot)]
+        tiles_t = dataclasses.replace(
+            tt, edge_slot=_jnp.asarray(
+                np.where(np.asarray(tt.slot_mask), remapped, 0)
+                .astype(np.int32)))
+    return dataclasses.replace(graph, tiles=tiles, tiles_t=tiles_t)
 
 
 def spmm_auto(graph, edge_values, x):

@@ -1,0 +1,384 @@
+"""Pallas TPU fused transformer-attention RHS (tiled strategy).
+
+Streaming version of `graphax.kernels.fused_attention.fused_attention_ax`:
+the XLA block-layout path materializes ~6 E-sized tensors in HBM per NFE
+(gathered keys, one-hots, scores, exponentials, denominator broadcasts,
+weighted values). Here the chain runs as three Pallas kernels over the
+``RowTiles`` block grid, keeping everything but two E-sized score buffers in
+VMEM:
+
+- ``K1 scores``: K-projection of the gathered sources, per-edge per-head
+  scores (scaled_dot / cosine_sim / pearson / exp_kernel), optional
+  pre-normalization edge reweighting, and the per-(tile-row, head) running
+  max (the segment-softmax shift; reference `src/utils.py:116-127`).
+- ``K2 normalize``: exp / squareplus of the shifted scores and the
+  per-(row, head) denominator accumulation.
+- ``K3 spmm``: head-mean attention × gathered source features, one-hot
+  matmul into the output tile (same revisited-accumulation pattern as
+  `pallas_tiled._spmm_kernel`).
+
+Semantics match the XLA paths exactly: softmax shifts by the per-segment
+max, squareplus by the global max (reference `src/utils.py:129-140`), both
+normalize with a ``+1e-16`` denominator guard.
+
+Differentiation: wrapped in ``jax.custom_vjp`` whose backward replays the
+XLA fused path's vjp — correct everywhere, but adds one XLA forward per
+backward step, so the dispatcher only routes here for ``train=False``
+forwards (see `functions/transformer.py` + `FuncState.fast_attention`).
+
+Replaces: per-NFE SDDMM+softmax+SpMM of the reference GRAND-nl hot loop
+(`src/function_transformer_attention.py:159-267`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphax.kernels.pallas_tiled import (
+    _interpret, _tile_rows, blocked_values, first_flags, presence_scale,
+)
+
+NEG = -1e30
+EPS = 1e-16
+COS_EPS = 1e-5
+
+
+# ----------------------------------------------------------------------
+# K1: scores + per-row max
+# ----------------------------------------------------------------------
+
+def _make_scores_kernel(att_type: str, reweight: bool, heads: int):
+    def kernel(tidx_ref, first_ref, q_ref, xg_ref, wk_ref, bk_ref, wb_ref,
+               lrow_ref, scal_ref, s_out, rmax_out):
+        b = pl.program_id(0)
+        lrow = lrow_ref[0, 0]                             # [Eb]
+        eb = lrow.shape[0]
+        tile = q_ref.shape[1]
+        oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
+                == lrow[None, :])                          # [tile, Eb] bool
+        oh = oh_b.astype(q_ref.dtype)
+        mask_e = (lrow < tile)[None, :]                    # [1, Eb]
+
+        # q[row] per edge: one-hot matmul against the contiguous q tile
+        q_t = jax.lax.dot_general(
+            q_ref[0], oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [A, Eb]
+        # k[col] = Wkᵀ x[col] computed on the gathered sources
+        k_t = jax.lax.dot_general(
+            wk_ref[:], xg_ref[0], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [A, Eb]
+        k_t = k_t + bk_ref[0][:, None].astype(jnp.float32)
+
+        a = q_t.shape[0]
+        d_k = a // heads
+        q_h = q_t.reshape(heads, d_k, eb)
+        k_h = k_t.reshape(heads, d_k, eb)
+        if att_type == "scaled_dot":                       # q pre-scaled
+            s = jnp.sum(q_h * k_h, axis=1)                 # [H, Eb]
+        elif att_type in ("cosine_sim", "pearson"):
+            if att_type == "pearson":
+                q_h = q_h - q_h.mean(axis=1, keepdims=True)
+                k_h = k_h - k_h.mean(axis=1, keepdims=True)
+            qn = jnp.maximum(jnp.sqrt(jnp.sum(q_h * q_h, axis=1)), COS_EPS)
+            kn = jnp.maximum(jnp.sqrt(jnp.sum(k_h * k_h, axis=1)), COS_EPS)
+            s = jnp.sum(q_h * k_h, axis=1) / (qn * kn)
+        elif att_type == "exp_kernel":
+            sq = jnp.sum((q_h - k_h) ** 2, axis=1)
+            s = scal_ref[0, 0] * jnp.exp(-sq * scal_ref[0, 1])
+        else:
+            raise ValueError(att_type)
+
+        if reweight:
+            s = s * wb_ref[0, 0][None, :].astype(jnp.float32)
+        s = jnp.where(mask_e, s, NEG)
+        s_out[0] = s
+
+        rows = []
+        for h in range(heads):
+            masked = jnp.where(oh_b, s[h][None, :], NEG)   # [tile, Eb]
+            rows.append(jnp.max(masked, axis=1))           # [tile]
+        rmax = jnp.stack(rows)                             # [H, tile]
+
+        @pl.when(first_ref[b] == 1)
+        def _init():
+            rmax_out[0] = rmax
+
+        @pl.when(first_ref[b] == 0)
+        def _acc():
+            rmax_out[0] = jnp.maximum(rmax_out[0], rmax)
+
+    return kernel
+
+
+def _scores_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
+                 local_row, tile_idx, scal, num_tiles, tile):
+    b, eb, d = xg.shape
+    a = q_tiles.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, tile, a), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, eb, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((wk.shape[0], a), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, a), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 2), lambda i, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, heads, tile), lambda i, t, f: (t[i], 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_scores_kernel(att_type, reweight, heads),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, heads, eb), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, heads, tile), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(tile_idx, first_flags(tile_idx), q_tiles, xg, wk, bk,
+      wb[:, None], local_row[:, None], scal)
+
+
+# ----------------------------------------------------------------------
+# K2: shifted exp / squareplus + denominators
+# ----------------------------------------------------------------------
+
+def _make_norm_kernel(square_plus: bool):
+    def kernel(tidx_ref, first_ref, s_ref, shift_ref, lrow_ref, e_out,
+               denom_out):
+        b = pl.program_id(0)
+        lrow = lrow_ref[0, 0]
+        eb = lrow.shape[0]
+        tile = shift_ref.shape[2]
+        oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
+                == lrow[None, :])
+        oh = oh_b.astype(jnp.float32)
+        mask_e = (lrow < tile)[None, :]
+
+        shift_e = jax.lax.dot_general(
+            shift_ref[0], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [H, Eb]
+        z = s_ref[0] - shift_e
+        if square_plus:
+            e = (z + jnp.sqrt(z * z + 4.0)) / 2.0
+        else:
+            e = jnp.exp(z)
+        e = jnp.where(mask_e, e, 0.0)
+        e_out[0] = e
+
+        dpart = jax.lax.dot_general(
+            e, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [H, tile]
+
+        @pl.when(first_ref[b] == 1)
+        def _init():
+            denom_out[0] = dpart
+
+        @pl.when(first_ref[b] == 0)
+        def _acc():
+            denom_out[0] += dpart
+
+    return kernel
+
+
+def _norm_call(square_plus, scores, shift, local_row, tile_idx,
+               num_tiles, tile):
+    b, heads, eb = scores.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, heads, tile), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, heads, tile), lambda i, t, f: (t[i], 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_norm_kernel(square_plus),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, heads, eb), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, heads, tile), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(tile_idx, first_flags(tile_idx), scores, shift, local_row[:, None])
+
+
+# ----------------------------------------------------------------------
+# K3: head-mean attention SpMM
+# ----------------------------------------------------------------------
+
+def _attspmm_kernel(tidx_ref, first_ref, e_ref, denom_ref, xg_ref, lrow_ref,
+                    o_ref):
+    b = pl.program_id(0)
+    lrow = lrow_ref[0, 0]
+    eb = lrow.shape[0]
+    tile = o_ref.shape[1]
+    oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
+            == lrow[None, :])
+    oh = oh_b.astype(jnp.float32)
+    mask_e = lrow < tile
+
+    denom_e = jax.lax.dot_general(
+        denom_ref[0], oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [H, Eb]
+    a = e_ref[0] / (denom_e + EPS)
+    w = jnp.where(mask_e, jnp.mean(a, axis=0), 0.0)        # [Eb]
+    vals = xg_ref[0] * w[:, None].astype(xg_ref.dtype)
+    partial = jax.lax.dot_general(
+        oh.astype(xg_ref.dtype), vals, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [tile, D]
+
+    @pl.when(first_ref[b] == 1)
+    def _init():
+        o_ref[0] = partial
+
+    @pl.when(first_ref[b] == 0)
+    def _acc():
+        o_ref[0] += partial
+
+
+def _attspmm_call(e, denom, xg, local_row, tile_idx, num_tiles, tile):
+    b, eb, d = xg.shape
+    heads = e.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, heads, tile), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, eb, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, d), lambda i, t, f: (t[i], 0, 0)),
+    )
+    return pl.pallas_call(
+        _attspmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, tile, d), jnp.float32),
+        interpret=_interpret(),
+    )(tile_idx, first_flags(tile_idx), e, denom, xg, local_row[:, None])
+
+
+# ----------------------------------------------------------------------
+# Assembled RHS with custom_vjp (backward replays the XLA fused path)
+# ----------------------------------------------------------------------
+
+def _f0(a):
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes):
+    from graphax.kernels.fused_attention import fused_attention_ax
+    from graphax.kernels.tiles import RowTiles
+    from graphax.utils.params import linear_apply
+
+    heads = cfg.heads
+
+    def _forward(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+                 t_tidx):
+        q = linear_apply(att_params["Q"], x)
+        if cfg.attention_type == "scaled_dot":
+            q = q / jnp.sqrt(jnp.asarray(cfg.attention_dim // heads,
+                                         jnp.float32)).astype(q.dtype)
+        q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
+        xg = x[t_col]
+        wk = att_params["K"]["w"].astype(x.dtype)
+        bk = att_params["K"]["b"].astype(jnp.float32)[None, :]
+        if cfg.reweight_attention and edge_weight is not None:
+            wb = jnp.where(t_mask, edge_weight[t_slot], 0) \
+                .astype(jnp.float32)
+        else:
+            wb = jnp.zeros(t_slot.shape, jnp.float32)
+        if cfg.attention_type == "exp_kernel":
+            if "_ov2" in att_params:
+                ov2 = att_params["_ov2"]
+                inv2l2 = att_params["_inv2l2"]
+            else:
+                ov2 = att_params["output_var"] ** 2
+                inv2l2 = 1.0 / (2.0 * att_params["lengthscale"] ** 2)
+            scal = jnp.stack([ov2, inv2l2]).reshape(1, 2) \
+                .astype(jnp.float32)
+        else:
+            scal = jnp.zeros((1, 2), jnp.float32)
+
+        scores, rmax = _scores_call(
+            cfg.attention_type, bool(cfg.reweight_attention), heads,
+            q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal, num_tiles, tile)
+
+        present = presence_scale(t_tidx, num_tiles) > 0
+        rmax = jnp.where(present[:, None, None], rmax, NEG)
+        if cfg.square_plus:
+            gmax = jnp.max(rmax)
+            gmax = jnp.where(gmax <= NEG / 2, 0.0, gmax)
+            shift = jnp.full_like(rmax, gmax)
+        else:
+            shift = jnp.where(rmax <= NEG / 2, 0.0, rmax)
+
+        e, denom = _norm_call(bool(cfg.square_plus), scores, shift, t_lrow,
+                              t_tidx, num_tiles, tile)
+        out = _attspmm_call(e, denom, xg, t_lrow, t_tidx, num_tiles, tile)
+        out = jnp.where(present[:, None, None], out, 0.0)
+        return out.reshape(num_tiles * tile, -1)[:num_nodes].astype(x.dtype)
+
+    def _xla_replay(att_params, x, edge_weight, t_slot, t_mask, t_col,
+                    t_lrow, t_tidx):
+        tiles = RowTiles(edge_slot=t_slot, slot_mask=t_mask, col=t_col,
+                         local_row=t_lrow, tile_idx=t_tidx,
+                         num_tiles=num_tiles, tile=tile,
+                         block_edges=block_edges, num_nodes=num_nodes)
+        return fused_attention_ax(cfg, att_params, tiles, x,
+                                  edge_weight=edge_weight)
+
+    @jax.custom_vjp
+    def f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow, t_tidx):
+        return _forward(att_params, x, edge_weight, t_slot, t_mask, t_col,
+                        t_lrow, t_tidx)
+
+    def fwd(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+            t_tidx):
+        y = _forward(att_params, x, edge_weight, t_slot, t_mask, t_col,
+                     t_lrow, t_tidx)
+        return y, (att_params, x, edge_weight, t_slot, t_mask, t_col,
+                   t_lrow, t_tidx)
+
+    def bwd(res, g):
+        att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow, \
+            t_tidx = res
+        _, vjp = jax.vjp(
+            lambda p, xx, ew: _xla_replay(p, xx, ew, t_slot, t_mask, t_col,
+                                          t_lrow, t_tidx),
+            att_params, x, edge_weight)
+        dp, dx, dew = vjp(g.astype(x.dtype))
+        return (dp, dx, dew, _f0(t_slot), _f0(t_mask), _f0(t_col),
+                _f0(t_lrow), _f0(t_tidx))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_attention_ax_pallas(cfg, att_params, tiles, x, edge_weight=None):
+    """Streaming Pallas version of `fused_attention.fused_attention_ax`
+    (head-mean, row-normalized transformer attention RHS)."""
+    f = _make_fused(cfg, tiles.num_tiles, tiles.tile, tiles.block_edges,
+                    tiles.num_nodes)
+    if edge_weight is None:
+        edge_weight = jnp.zeros(tiles.edge_slot.reshape(-1).shape,
+                                jnp.float32)
+    return f(att_params, x, edge_weight, tiles.edge_slot, tiles.slot_mask,
+             tiles.col, tiles.local_row, tiles.tile_idx)

@@ -53,6 +53,11 @@ class Graph:
     # optional row-tiled layout (graphax.kernels.RowTiles) enabling the
     # scatter-free MXU segment-reduction path; None → XLA segment ops
     tiles: Optional[object] = None
+    # optional transpose (col-tiled) layout: same RowTiles type built on the
+    # reversed edges, used by the Pallas custom_vjp for dx = Aᵀg
+    # (graphax.kernels.pallas_tiled). Its edge_slot indexes the ORIGINAL
+    # edge buffers, so one [E] value vector serves both layouts.
+    tiles_t: Optional[object] = None
     # compute strategy: 'edge' (XLA segment ops), 'tiled' (MXU one-hot
     # reductions over row tiles), 'dense' (materialized [N,N] operator —
     # fastest for N ≲ 20k; see graphax.kernels.dense_path)
