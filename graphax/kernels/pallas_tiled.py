@@ -34,6 +34,7 @@ Replaces: reference torch_scatter/torch_sparse SpMM + its autograd
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import numpy as np
@@ -165,11 +166,33 @@ def _f0(a):
     return np.zeros(a.shape, jax.dtypes.float0)
 
 
-@functools.lru_cache(maxsize=None)
-def _make_spmm(num_tiles, tile, num_tiles_t, tile_t, num_nodes):
+# When True (set by the continuous-adjoint solver around its per-step vjp
+# trace — `ode.solvers.odeint_adjoint`), the SpMM custom_vjp saves the
+# gathered sources x[col] as a residual, sparing the backward pass one
+# random row gather (~10 ms at arxiv scale). NEVER enabled for direct
+# autodiff through `lax.scan`: scan STACKS residuals per step, so an
+# [E, D]-sized residual would multiply by the step count and exhaust HBM.
+_SAVE_SOURCES = False
 
-    def _apply(wb, x, tcol, tlrow, ttidx, nt, tl):
-        xg = x[tcol]                                        # [B, Eb, D]
+
+@contextlib.contextmanager
+def adjoint_residual_mode():
+    global _SAVE_SOURCES
+    old = _SAVE_SOURCES
+    _SAVE_SOURCES = True
+    try:
+        yield
+    finally:
+        _SAVE_SOURCES = old
+
+
+@functools.lru_cache(maxsize=None)
+def _make_spmm(num_tiles, tile, num_tiles_t, tile_t, num_nodes,
+               save_sources: bool = False):
+
+    def _apply(wb, x, tcol, tlrow, ttidx, nt, tl, xg=None):
+        if xg is None:
+            xg = x[tcol]                                    # [B, Eb, D]
         out = _spmm_call(xg, wb, tlrow, ttidx, nt, tl)
         # never-visited tiles hold uninitialized memory — select, don't
         # multiply (0·NaN = NaN)
@@ -182,17 +205,20 @@ def _make_spmm(num_tiles, tile, num_tiles_t, tile_t, num_nodes):
         return _apply(wb, x, tcol, tlrow, ttidx, num_tiles, tile)
 
     def fwd(wb, wb_t, x, tcol, tlrow, ttidx, tt_col, tt_lrow, tt_tidx):
-        y = _apply(wb, x, tcol, tlrow, ttidx, num_tiles, tile)
-        return y, (wb, wb_t, x, tcol, tlrow, ttidx, tt_col, tt_lrow, tt_tidx)
+        xg = x[tcol]
+        y = _apply(wb, x, tcol, tlrow, ttidx, num_tiles, tile, xg=xg)
+        return y, (wb, wb_t, x, xg if save_sources else None,
+                   tcol, tlrow, ttidx, tt_col, tt_lrow, tt_tidx)
 
     def bwd(res, g):
-        wb, wb_t, x, tcol, tlrow, ttidx, tt_col, tt_lrow, tt_tidx = res
+        wb, wb_t, x, xg, tcol, tlrow, ttidx, tt_col, tt_lrow, tt_tidx = res
         g = g.astype(x.dtype)
         # dx = Aᵀ g: the same SpMM kernel on the transpose layout
         dx = _apply(wb_t, g, tt_col, tt_lrow, tt_tidx, num_tiles_t, tile_t)
         # dw[e] = g[row_e] · x[col_e]
         g_tiles = _tile_rows(g, num_tiles, tile)
-        xg = x[tcol]
+        if xg is None:
+            xg = x[tcol]
         dwb = _sddmm_call(g_tiles, xg, tlrow, ttidx).astype(wb.dtype)
         dwb = jnp.where(tlrow < tile, dwb, 0)
         return (dwb, jnp.zeros_like(wb_t), dx,
@@ -212,7 +238,8 @@ def spmm_pallas(wb, wb_t, x, tiles, tiles_t):
     zeros — its contribution is wb's, routed by the caller building both
     from one [E] array)."""
     f = _make_spmm(tiles.num_tiles, tiles.tile,
-                   tiles_t.num_tiles, tiles_t.tile, tiles.num_nodes)
+                   tiles_t.num_tiles, tiles_t.tile, tiles.num_nodes,
+                   save_sources=_SAVE_SOURCES)
     return f(wb, wb_t, x, tiles.col, tiles.local_row, tiles.tile_idx,
              tiles_t.col, tiles_t.local_row, tiles_t.tile_idx)
 

@@ -116,8 +116,17 @@ def make_gnn(cfg, num_features: int, num_classes: int) -> GNNModel:
                       else (None, None))
         x0, state = encode(params, state, x, train=train, rng=enc_rng,
                            pos_encoding=pos_encoding)
-        out = block.forward(params["block"], graph, x0, train=train, y=x2,
-                            t1=t1, observer=observer, max_steps=max_steps)
+        # mixed precision: encoder/decoder in f32, the ODE state in
+        # cfg.dtype (bf16 halves the solver's HBM traffic — the gather-bound
+        # hot loop — and doubles MXU rate; attention scores and SpMM
+        # accumulation stay f32 inside the kernels)
+        ode_dtype = jnp.dtype(cfg.dtype)
+        orig_dtype = x0.dtype
+        out = block.forward(params["block"], graph, x0.astype(ode_dtype),
+                            train=train, y=x2, t1=t1, observer=observer,
+                            max_steps=max_steps)
+        if out.z.dtype != orig_dtype:
+            out = out._replace(z=out.z.astype(orig_dtype))
         return out.z, state, out
 
     def decode(params, z, *, train: bool = False, rng=None):

@@ -69,9 +69,13 @@ def _rk_step(flat_func, tableau_name, t, y, h, f0=None):
     """One explicit RK step on flat state. Returns (y1, f1_or_None, err, nfe).
 
     ``f0`` may carry the FSAL derivative from the previous accepted step.
+    Stage combinations accumulate in f32 even when the state is bf16 (mixed
+    precision: time/step control/error estimates never drop below f32); the
+    returned state is cast back to ``y.dtype``.
     """
     a, b, c, e = stacked(TABLEAUS[tableau_name])
     tab = TABLEAUS[tableau_name]
+    acc = jnp.promote_types(y.dtype, jnp.float32)
     s = len(c)
     ks = []
     nfe = 0
@@ -79,30 +83,33 @@ def _rk_step(flat_func, tableau_name, t, y, h, f0=None):
         if i == 0 and f0 is not None:
             ki = f0
         else:
-            yi = y
+            yi = y.astype(acc)
             for j in range(i):
                 if a[i, j] != 0.0:
-                    yi = yi + h * a[i, j] * ks[j]
-            ki = flat_func(t + c[i] * h, yi)
+                    yi = yi + (h * a[i, j]) * ks[j].astype(acc)
+            ki = flat_func(t + c[i] * h, yi.astype(y.dtype))
             nfe += 1
         ks.append(ki)
-    y1 = y
+    y1 = y.astype(acc)
     for i in range(s):
         if b[i] != 0.0:
-            y1 = y1 + h * b[i] * ks[i]
+            y1 = y1 + (h * b[i]) * ks[i].astype(acc)
+    y1 = y1.astype(y.dtype)
     err = None
     if e is not None:
-        err = jnp.zeros_like(y)
+        err = jnp.zeros(y.shape, acc)
         for i in range(s):
             if e[i] != 0.0:
-                err = err + h * e[i] * ks[i]
+                err = err + (h * e[i]) * ks[i].astype(acc)
     f1 = ks[-1] if tab.fsal else None
     return y1, f1, err, nfe
 
 
 def _error_ratio(err, y0, y1, rtol, atol):
-    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    return _rms_norm(err / scale)
+    acc = jnp.promote_types(y0.dtype, jnp.float32)
+    scale = atol + rtol * jnp.maximum(jnp.abs(y0.astype(acc)),
+                                      jnp.abs(y1.astype(acc)))
+    return _rms_norm(err.astype(acc) / scale)
 
 
 def _optimal_step(h, ratio, order):
@@ -115,13 +122,15 @@ def _optimal_step(h, ratio, order):
 def _initial_step(flat_func, t0, y0, f0, order, rtol, atol):
     """Hairer/Wanner initial step selection (torchdiffeq `_select_initial_step`).
     Costs one extra RHS evaluation."""
-    scale = atol + jnp.abs(y0) * rtol
-    d0 = _rms_norm(y0 / scale)
-    d1 = _rms_norm(f0 / scale)
+    acc = jnp.promote_types(y0.dtype, jnp.float32)
+    y0a, f0a = y0.astype(acc), f0.astype(acc)
+    scale = atol + jnp.abs(y0a) * rtol
+    d0 = _rms_norm(y0a / scale)
+    d1 = _rms_norm(f0a / scale)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
-    y1 = y0 + h0 * f0
+    y1 = (y0a + h0 * f0a).astype(y0.dtype)
     f1 = flat_func(t0 + h0, y1)
-    d2 = _rms_norm((f1 - f0) / scale) / h0
+    d2 = _rms_norm((f1.astype(acc) - f0a) / scale) / h0
     small = jnp.maximum(d1, d2) <= 1e-15
     h1 = jnp.where(
         small,
@@ -155,8 +164,9 @@ def _odeint_fixed(flat_func, y0_flat, t0, t1, method, step_size, observer,
     import numpy as np
 
     ts = _fixed_grid(t0, t1, step_size)
-    starts = jnp.asarray(ts[:-1], dtype)
-    hs = jnp.asarray(np.diff(ts), dtype)
+    tdt = jnp.promote_types(dtype, jnp.float32)
+    starts = jnp.asarray(ts[:-1], tdt)
+    hs = jnp.asarray(np.diff(ts), tdt)
     n_stages = len(TABLEAUS[method].c)
 
     def body(carry, t_h):
@@ -174,7 +184,7 @@ def _odeint_fixed(flat_func, y0_flat, t0, t1, method, step_size, observer,
         y=unravel(y1), nfe=nfe,
         steps=jnp.asarray(len(ts) - 1, jnp.int32),
         success=jnp.asarray(True),
-        observer=obs, t_final=jnp.asarray(t1, dtype))
+        observer=obs, t_final=jnp.asarray(t1, tdt))
 
 
 # ----------------------------------------------------------------------
@@ -198,8 +208,11 @@ def _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol, max_nfe,
                      first_step=None):
     tab = TABLEAUS[method]
     order = tab.order
-    t0a = jnp.asarray(t0, dtype)
-    t1a = jnp.asarray(t1, dtype)
+    # time / step-size arithmetic never drops below f32 (a bf16 state must
+    # not quantize the integration grid)
+    tdt = jnp.promote_types(dtype, jnp.float32)
+    t0a = jnp.asarray(t0, tdt)
+    t1a = jnp.asarray(t1, tdt)
     span = t1a - t0a
 
     f0 = flat_func(t0a, y0_flat)
@@ -208,7 +221,7 @@ def _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol, max_nfe,
             _initial_step(flat_func, t0a, y0_flat, f0, order, rtol, atol))
         nfe0 = jnp.asarray(2, jnp.int32)
     else:
-        h0 = jnp.asarray(first_step, dtype)
+        h0 = jnp.asarray(first_step, tdt)
         nfe0 = jnp.asarray(1, jnp.int32)
     h0 = jnp.minimum(h0, span)
 
@@ -370,7 +383,13 @@ def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
             def f_of(y_, p_):
                 return func(p_, t, y_)
 
-            f_val, vjp_fn = jax.vjp(f_of, y, unravel_p(p_flat))
+            # residuals here live within ONE adjoint step (no scan stacking)
+            # — let the Pallas SpMM save its gathered sources instead of
+            # re-gathering in its backward (kernels.pallas_tiled)
+            from graphax.kernels.pallas_tiled import adjoint_residual_mode
+
+            with adjoint_residual_mode():
+                f_val, vjp_fn = jax.vjp(f_of, y, unravel_p(p_flat))
             vy, vp = vjp_fn(a)
             f_flat, _ = ravel_pytree(f_val)
             vy_flat, _ = ravel_pytree(vy)

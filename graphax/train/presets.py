@@ -103,6 +103,10 @@ BEST_PARAMS = {
         pos_enc_type="DW64", pos_enc_hidden_dim=98, self_loop_weight=1,
         square_plus=False, time=3.6760155951687636,
         tol_scale=11353.558848254957, tol_scale_adjoint=1.0, not_lcc=False,
+        # TPU addition (not a reference flag): solve the ODE state in bf16 —
+        # halves the gather-bound solver HBM traffic at 169k nodes; encoder/
+        # decoder/accumulations stay f32
+        dtype="bfloat16",
     ),
 }
 
