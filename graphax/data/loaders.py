@@ -267,15 +267,20 @@ def get_dataset(cfg_or_name, data_dir: str = "./data",
         print(f"[graphax.data] {name} raw files not found — using a "
               f"shape-matched synthetic SBM stand-in "
               f"(N={shape['num_nodes']})", file=sys.stderr)
-        avg_deg = 4.0
-        p_in = min(6 * avg_deg / shape["num_nodes"], 0.5)
+        n, c = shape["num_nodes"], shape["num_classes"]
+        # class-count-invariant homophily (~75%): expected within-class
+        # degree 3 and cross-class degree 1 per node regardless of C, so
+        # diffusion is equally load-bearing for 3-class Pubmed and
+        # 40-class arxiv stand-ins (p_in*N/C = 3, p_out*N*(C-1)/C = 1)
+        p_in = min(3.0 * c / n, 0.5)
+        p_out = 1.0 * c / (n * max(c - 1, 1))
         # feature noise scaled so a linear probe on raw features is weak
         # (~0.25 for Cora-like shapes): class separation grows with
         # sqrt(num_features), so noise must too
         noise = max(1.0, float(np.sqrt(shape["num_features"])) / 2.1)
         return make_sbm_dataset(
-            num_nodes=shape["num_nodes"], num_classes=shape["num_classes"],
-            num_features=shape["num_features"], p_in=p_in, p_out=p_in / 15,
+            num_nodes=n, num_classes=c,
+            num_features=shape["num_features"], p_in=p_in, p_out=p_out,
             feature_noise=noise,
             seed=split_seed % (2 ** 31), self_loop_weight=self_loop,
             num_development=5000 if name == "CoauthorCS" else 1500)

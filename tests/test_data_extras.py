@@ -108,3 +108,22 @@ def test_pick_best_deepwalk_pickle():
         with open(path, "rb") as f:
             obj = pickle.load(f)
         assert obj["acc"] == 0.9
+
+
+def test_synthetic_fallback_homophily_class_count_invariant():
+    """The SBM stand-ins must stay homophilic (~75% same-class neighbors)
+    regardless of class count, or diffusion can't help on the many-class
+    datasets (CoauthorCS: 15, ogbn-arxiv: 40) and the tuned-config smoke
+    runs plateau near chance."""
+    import jax.numpy as jnp
+
+    with tempfile.TemporaryDirectory() as td:
+        for name in ("Citeseer", "CoauthorCS"):
+            data = get_dataset(name, data_dir=td, synthetic_fallback=True)
+            g = data.graph
+            row = np.asarray(g.row)[np.asarray(g.edge_mask)]
+            col = np.asarray(g.col)[np.asarray(g.edge_mask)]
+            off_diag = row != col  # exclude self loops
+            y = np.asarray(data.y)
+            same = (y[row[off_diag]] == y[col[off_diag]]).mean()
+            assert 0.6 < same < 0.9, (name, same)
