@@ -44,7 +44,7 @@ class RowTiles:
 
 
 def build_row_tiles(row, col, num_nodes: int, num_edges: int = None,
-                    tile: int = 128, block_edges: int = 1024) -> RowTiles:
+                    tile: int = 128, block_edges: int = 2048) -> RowTiles:
     """Build the block tables from host (or device) edge arrays sorted by
     row. ``num_edges`` masks trailing padding in the input buffers."""
     import jax.numpy as jnp

@@ -82,11 +82,9 @@ def main():
     t_col = tiles.col
     slots = int(np.prod(t_col.shape))
     gb = slots * d * x.dtype.itemsize / 1e9
-    t = chained(lambda s: x[t_col] * 0 + s[None, :1, :1], jnp.zeros((1, 1, 1), dtype))
-    # that trick misbehaves; do a dependent-chain gather instead
     def gstep(s):
         xa = x + s[0, 0]
-        return (xa[t_col].sum(axis=(0, 1), keepdims=True) * 1e-9).astype(dtype)
+        return (xa[t_col].sum().reshape(1, 1) * 1e-9).astype(dtype)
     t_g = chained(gstep, jnp.zeros((1, 1), dtype))
     print(f"gather [B,Eb]->[B,Eb,{d}]: {t_g*1e3:.2f} ms  "
           f"({gb:.2f} GB -> {gb/t_g:.0f} GB/s effective)", flush=True)
@@ -96,38 +94,11 @@ def main():
     x_pad = jnp.zeros((n, d_pad), dtype).at[:, :d].set(x)
     def gstep_p(s):
         xa = x_pad + s[0, 0]
-        return (xa[t_col].sum(axis=(0, 1), keepdims=True) * 1e-9).astype(dtype)
+        return (xa[t_col].sum().reshape(1, 1) * 1e-9).astype(dtype)
     t_gp = chained(gstep_p, jnp.zeros((1, 1), dtype))
     gbp = slots * d_pad * x.dtype.itemsize / 1e9
     print(f"gather padded d={d_pad}: {t_gp*1e3:.2f} ms ({gbp/t_gp:.0f} GB/s)",
           flush=True)
-
-    # gather with width 128 (subset)
-    x_128 = x[:, :128]
-    def gstep_1(s):
-        xa = x_128 + s[0, 0]
-        return (xa[t_col].sum(axis=(0, 1), keepdims=True) * 1e-9).astype(dtype)
-    t_g1 = chained(gstep_1, jnp.zeros((1, 1), dtype))
-    gb1 = slots * 128 * x.dtype.itemsize / 1e9
-    print(f"gather d=128: {t_g1*1e3:.2f} ms ({gb1/t_g1:.0f} GB/s)", flush=True)
-
-    # flat-index gather (one vector index instead of [B,Eb])
-    flat_col = t_col.reshape(-1)
-    def gstep_f(s):
-        xa = x + s[0, 0]
-        return (xa[flat_col].sum(axis=0, keepdims=True)[None] * 1e-9
-                ).astype(dtype)
-    t_gf = chained(gstep_f, jnp.zeros((1, 1), dtype))
-    print(f"gather flat: {t_gf*1e3:.2f} ms ({gb/t_gf:.0f} GB/s)", flush=True)
-
-    # sorted-index gather (locality ceiling)
-    sort_col = jnp.sort(flat_col)
-    def gstep_s(s):
-        xa = x + s[0, 0]
-        return (xa[sort_col].sum(axis=0, keepdims=True)[None] * 1e-9
-                ).astype(dtype)
-    t_gs = chained(gstep_s, jnp.zeros((1, 1), dtype))
-    print(f"gather sorted: {t_gs*1e3:.2f} ms ({gb/t_gs:.0f} GB/s)", flush=True)
 
     # ---- 2. the full attention RHS (dispatch path) -------------------------
     cfg_att = Config(function="transformer", heads=2, attention_dim=32,
@@ -142,62 +113,62 @@ def main():
     t_rhs = chained(rhs_step, x)
     print(f"full attention RHS: {t_rhs*1e3:.2f} ms", flush=True)
 
-    # ---- 3. kernel stages in isolation -------------------------------------
+    # ---- 3. kernel stages in isolation (big arrays as jit args!) ----------
     from graphax.kernels import pallas_attention as pa
-    from graphax.utils.params import linear_apply
 
-    att_params = {k: v for k, v in p_att.items()
-                  if k in ("Q", "K", "V")} or p_att
-    # reproduce _forward internals
-    ap = p_att["att"] if "att" in p_att else p_att
-    # find the att params pytree the fused path uses
-    print("param keys:", list(p_att.keys()), flush=True)
-
-    heads, a_dim = 2, 64
+    heads = 2
+    a_dim = 64
     wq = jnp.asarray(rng.randn(d, a_dim), dtype) * 0.05
     q = x @ wq
     q_tiles = pa._tile_rows(q, tiles.num_tiles, tiles.tile)
     xg = x[t_col]
     wk = jnp.asarray(rng.randn(d, a_dim), dtype) * 0.05
     bk = jnp.zeros((1, a_dim), jnp.float32)
-    wb = jnp.zeros(t_col.shape, jnp.float32)[:, None]
+    wb = jnp.zeros(t_col.shape, jnp.float32)
     scal = jnp.zeros((1, 2), jnp.float32)
-    lrow = tiles.local_row[:, None]
 
-    def k1(s):
+    def k1(s, q_tiles, xg):
         return pa._scores_call(
             "scaled_dot", False, heads, q_tiles + s[0, 0, 0], xg, wk, bk,
-            wb[:, 0], tiles.local_row, tiles.tile_idx, scal,
-            tiles.num_tiles, tiles.tile)[0][:1, :1, :1]
-    t_k1 = chained(k1, jnp.zeros((1, 1, 1), dtype))
+            wb, tiles.local_row, tiles.tile_idx, scal,
+            tiles.num_tiles, tiles.tile)[0][:1, :1, :1].astype(dtype)
+    t_k1 = chained(k1, jnp.zeros((1, 1, 1), dtype), q_tiles, xg)
     print(f"K1 scores: {t_k1*1e3:.2f} ms", flush=True)
 
     scores, rmax = pa._scores_call(
-        "scaled_dot", False, heads, q_tiles, xg, wk, bk, wb[:, 0],
+        "scaled_dot", False, heads, q_tiles, xg, wk, bk, wb,
         tiles.local_row, tiles.tile_idx, scal, tiles.num_tiles, tiles.tile)
     shift = jnp.where(rmax <= pa.NEG / 2, 0.0, rmax)
 
-    def k2(s):
+    def k2(s, scores, shift):
         return pa._norm_call(False, scores + s[0, 0, 0], shift,
                              tiles.local_row, tiles.tile_idx,
                              tiles.num_tiles, tiles.tile)[0][:1, :1, :1]
-    t_k2 = chained(k2, jnp.zeros((1, 1, 1), jnp.float32))
+    t_k2 = chained(k2, jnp.zeros((1, 1, 1), jnp.float32), scores, shift)
     print(f"K2 normalize: {t_k2*1e3:.2f} ms", flush=True)
 
     ee, denom = pa._norm_call(False, scores, shift, tiles.local_row,
                               tiles.tile_idx, tiles.num_tiles, tiles.tile)
 
-    def k3(s):
+    def k3(s, ee, denom, xg):
         return pa._attspmm_call(ee + s[0, 0, 0], denom, xg,
                                 tiles.local_row, tiles.tile_idx,
                                 tiles.num_tiles, tiles.tile)[:1, :1, :1]
-    t_k3 = chained(k3, jnp.zeros((1, 1, 1), jnp.float32))
+    t_k3 = chained(k3, jnp.zeros((1, 1, 1), jnp.float32), ee, denom, xg)
     print(f"K3 spmm: {t_k3*1e3:.2f} ms", flush=True)
 
-    print(f"sum stages: gather {t_g*1e3:.2f} + K1 {t_k1*1e3:.2f} + "
+    print(f"sum: gather {t_g*1e3:.2f} + K1 {t_k1*1e3:.2f} + "
           f"K2 {t_k2*1e3:.2f} + K3 {t_k3*1e3:.2f} = "
-          f"{(t_g+t_k1+t_k2+t_k3)*1e3:.2f} ms vs RHS {t_rhs*1e3:.2f} ms",
+          f"{(t_g+t_k1+t_k2+t_k3)*1e3:.2f} vs RHS {t_rhs*1e3:.2f} ms",
           flush=True)
+
+    # ---- 4. width-free combined gather [x || x@Wk] (<=256 lanes) ----------
+    xk = jnp.concatenate([x, (x @ wk)], axis=1)        # [N, 226]
+    def gstep_xk(s, xk):
+        xa = xk + s[0, 0]
+        return (xa[t_col].sum().reshape(1, 1) * 1e-9).astype(dtype)
+    t_gxk = chained(gstep_xk, jnp.zeros((1, 1), dtype), xk)
+    print(f"gather [x||k] d=226: {t_gxk*1e3:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
