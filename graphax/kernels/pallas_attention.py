@@ -275,6 +275,156 @@ def _attspmm_call(e, denom, xg, local_row, tile_idx, num_tiles, tile):
 
 
 # ----------------------------------------------------------------------
+# Single-pass "graph flash attention" kernel (softmax configs, small H)
+#
+# Fuses K1+K2+K3: per edge block, compute scores, update a running
+# per-(row, head) max with flash-style rescaling of the running denominator
+# and the per-head weighted-value accumulators, and emit the normalized
+# head-mean on each tile's last block. One sweep over the gathered sources
+# instead of three, no E-sized score round-trips through HBM, one kernel
+# launch per block instead of three. Requires the online-softmax recurrence,
+# so squareplus (global-max shift, `src/utils.py:129-140`) and H > 4 (VMEM
+# for H per-head [tile, D] accumulators) stay on the 3-kernel path.
+# ----------------------------------------------------------------------
+
+
+def last_flags(tile_idx):
+    """[B] int32 — 1 on the last block of each output tile."""
+    return jnp.concatenate([
+        (tile_idx[1:] != tile_idx[:-1]).astype(jnp.int32),
+        jnp.ones((1,), jnp.int32)])
+
+
+def _make_flash_kernel(att_type: str, reweight: bool, heads: int):
+    def kernel(tidx_ref, first_ref, last_ref, q_ref, xg_ref, wk_ref, bk_ref,
+               wb_ref, lrow_ref, scal_ref, o_ref, m_ref, d_ref, acc_ref):
+        b = pl.program_id(0)
+        lrow = lrow_ref[0, 0]                              # [Eb]
+        eb = lrow.shape[0]
+        tile = q_ref.shape[1]
+        oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
+                == lrow[None, :])                          # [tile, Eb]
+        oh = oh_b.astype(q_ref.dtype)
+        oh32 = oh_b.astype(jnp.float32)
+        mask_e = (lrow < tile)[None, :]
+
+        # ---- scores (same math as _make_scores_kernel) ----
+        q_t = jax.lax.dot_general(
+            q_ref[0], oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [A, Eb]
+        k_t = jax.lax.dot_general(
+            wk_ref[:], xg_ref[0], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [A, Eb]
+        k_t = k_t + bk_ref[0][:, None].astype(jnp.float32)
+
+        a = q_t.shape[0]
+        d_k = a // heads
+        q_h = q_t.reshape(heads, d_k, eb)
+        k_h = k_t.reshape(heads, d_k, eb)
+        if att_type == "scaled_dot":                       # q pre-scaled
+            s = jnp.sum(q_h * k_h, axis=1)                 # [H, Eb]
+        elif att_type in ("cosine_sim", "pearson"):
+            if att_type == "pearson":
+                q_h = q_h - q_h.mean(axis=1, keepdims=True)
+                k_h = k_h - k_h.mean(axis=1, keepdims=True)
+            qn = jnp.maximum(jnp.sqrt(jnp.sum(q_h * q_h, axis=1)), COS_EPS)
+            kn = jnp.maximum(jnp.sqrt(jnp.sum(k_h * k_h, axis=1)), COS_EPS)
+            s = jnp.sum(q_h * k_h, axis=1) / (qn * kn)
+        elif att_type == "exp_kernel":
+            sq = jnp.sum((q_h - k_h) ** 2, axis=1)
+            s = scal_ref[0, 0] * jnp.exp(-sq * scal_ref[0, 1])
+        else:
+            raise ValueError(att_type)
+        if reweight:
+            s = s * wb_ref[0, 0][None, :].astype(jnp.float32)
+        s = jnp.where(mask_e, s, NEG)
+
+        # ---- block row-max, online-softmax state update ----
+        rows = []
+        for h in range(heads):
+            masked = jnp.where(oh_b, s[h][None, :], NEG)
+            rows.append(jnp.max(masked, axis=1))
+        bmax = jnp.stack(rows)                             # [H, tile]
+
+        @pl.when(first_ref[b] == 1)
+        def _init():
+            m_ref[...] = bmax
+            d_ref[...] = jnp.zeros_like(d_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(first_ref[b] == 0)
+        def _rescale():
+            m_new = jnp.maximum(m_ref[...], bmax)
+            # rows not yet visited have m == NEG on both sides: exp(0)=1 is
+            # harmless (d, acc are 0 there)
+            r = jnp.exp(m_ref[...] - m_new)                # [H, tile]
+            d_ref[...] = d_ref[...] * r
+            acc_ref[...] = acc_ref[...] * r[:, :, None]
+            m_ref[...] = m_new
+
+        m = m_ref[...]                                     # [H, tile]
+        shift_e = jax.lax.dot_general(
+            m, oh32, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [H, Eb]
+        e = jnp.exp(s - shift_e)                           # pads: exp(NEG)=0
+        e = jnp.where(mask_e, e, 0.0)
+        d_ref[...] = d_ref[...] + jax.lax.dot_general(
+            e, oh32, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [H, tile]
+        for h in range(heads):
+            vals = xg_ref[0] * e[h][:, None].astype(xg_ref.dtype)
+            acc_ref[h] = acc_ref[h] + jax.lax.dot_general(
+                oh.astype(xg_ref.dtype), vals, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [tile, D]
+
+        @pl.when(last_ref[b] == 1)
+        def _emit():
+            att = acc_ref[...] / (d_ref[...][:, :, None] + EPS)
+            o_ref[0] = jnp.mean(att, axis=0)               # [tile, D]
+
+    return kernel
+
+
+def _flash_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
+                local_row, tile_idx, scal, num_tiles, tile):
+    b, eb, d = xg.shape
+    a = q_tiles.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, tile, a), lambda i, t, f, l: (t[i], 0, 0)),
+            pl.BlockSpec((1, eb, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((wk.shape[0], a), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, a), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 2), lambda i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, d), lambda i, t, f, l: (t[i], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((heads, tile), jnp.float32),
+            pltpu.VMEM((heads, tile), jnp.float32),
+            pltpu.VMEM((heads, tile, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_flash_kernel(att_type, reweight, heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, tile, d), jnp.float32),
+        interpret=_interpret(),
+    )(tile_idx, first_flags(tile_idx), last_flags(tile_idx), q_tiles, xg,
+      wk, bk, wb[:, None], local_row[:, None], scal)
+
+
+FLASH_MAX_HEADS = 4
+
+
+def flash_applicable(cfg) -> bool:
+    return (not cfg.square_plus) and cfg.heads <= FLASH_MAX_HEADS
+
+
+# ----------------------------------------------------------------------
 # Assembled RHS with custom_vjp (backward replays the XLA fused path)
 # ----------------------------------------------------------------------
 
@@ -317,22 +467,29 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes):
         else:
             scal = jnp.zeros((1, 2), jnp.float32)
 
-        scores, rmax = _scores_call(
-            cfg.attention_type, bool(cfg.reweight_attention), heads,
-            q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal, num_tiles, tile)
-
         present = presence_scale(t_tidx, num_tiles) > 0
-        rmax = jnp.where(present[:, None, None], rmax, NEG)
-        if cfg.square_plus:
-            gmax = jnp.max(rmax)
-            gmax = jnp.where(gmax <= NEG / 2, 0.0, gmax)
-            shift = jnp.full_like(rmax, gmax)
+        if flash_applicable(cfg):
+            out = _flash_call(
+                cfg.attention_type, bool(cfg.reweight_attention), heads,
+                q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal, num_tiles,
+                tile)
         else:
-            shift = jnp.where(rmax <= NEG / 2, 0.0, rmax)
+            scores, rmax = _scores_call(
+                cfg.attention_type, bool(cfg.reweight_attention), heads,
+                q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal, num_tiles,
+                tile)
+            rmax = jnp.where(present[:, None, None], rmax, NEG)
+            if cfg.square_plus:
+                gmax = jnp.max(rmax)
+                gmax = jnp.where(gmax <= NEG / 2, 0.0, gmax)
+                shift = jnp.full_like(rmax, gmax)
+            else:
+                shift = jnp.where(rmax <= NEG / 2, 0.0, rmax)
 
-        e, denom = _norm_call(bool(cfg.square_plus), scores, shift, t_lrow,
-                              t_tidx, num_tiles, tile)
-        out = _attspmm_call(e, denom, xg, t_lrow, t_tidx, num_tiles, tile)
+            e, denom = _norm_call(bool(cfg.square_plus), scores, shift,
+                                  t_lrow, t_tidx, num_tiles, tile)
+            out = _attspmm_call(e, denom, xg, t_lrow, t_tidx, num_tiles,
+                                tile)
         out = jnp.where(present[:, None, None], out, 0.0)
         return out.reshape(num_tiles * tile, -1)[:num_nodes].astype(x.dtype)
 

@@ -139,3 +139,25 @@ def test_eval_forward_routes_fast_attention(monkeypatch):
     dx_ref = f.rhs(params, fs_train, 0.0, x)
     np.testing.assert_allclose(np.asarray(dx_fast), np.asarray(dx_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_flash_fallback_many_heads():
+    """H > FLASH_MAX_HEADS must fall back to the 3-kernel path and still
+    match the XLA fused path (softmax config that would otherwise flash)."""
+    from graphax.kernels.pallas_attention import flash_applicable
+
+    g = make_graph(seed=11)
+    d = 8
+    cfg = Config(function="transformer", heads=8, attention_dim=16,
+                 hidden_dim=d, attention_type="scaled_dot")
+    assert not flash_applicable(cfg)
+    cfg2 = dataclasses.replace(cfg, heads=2)
+    assert flash_applicable(cfg2)
+    p = randomized_params(cfg, d, seed=12)
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    got = fused_attention_ax_pallas(cfg, p, g.tiles, x,
+                                    edge_weight=g.edge_weight)
+    want = fused_attention_ax(cfg, p, g.tiles, x, edge_weight=g.edge_weight)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
