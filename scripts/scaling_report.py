@@ -1,0 +1,188 @@
+"""Multi-chip scaling report → SCALING.md.
+
+Real multi-chip hardware is not available in this environment (one v5e chip
+behind a tunnel), so this report combines the three things that ARE
+measurable/derivable here:
+
+1. **Exact halo-exchange volume** from the partition tables
+   (`graphax.dist.partition.partition_graph`): per-NFE bytes each chip must
+   move over ICI vs the bytes its local compute touches. This is a property
+   of the partitioner + graph, independent of hardware.
+2. **An analytic per-NFE time model** anchored to the measured single-chip
+   RHS time (bench.py): T_comp(P) = T_1chip · (slots_shard / slots_total),
+   T_halo(P) = halo_bytes / BW_ICI. Efficiency with the double-buffered
+   overlap the halo design targets is T_comp / max(T_comp, T_halo); the
+   serial bound is T_comp / (T_comp + T_halo).
+3. **Numerical parity of the sharded path** on a virtual 8-device CPU mesh:
+   sharded_spmm_halo == single-device SpMM to fp tolerance.
+
+Graphs: the bench's uniform random graph (worst case for edge cuts — no
+community structure) and a 40-block SBM at the same size (realistic
+community structure, what METIS-style contiguous row blocks exploit).
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ICI_BW = 90e9          # bytes/s per chip, aggregate one-way (v5e-order ICI)
+T_SPMM_1CHIP = 14.2e-3  # measured bench.py spmm_rhs_ms at arxiv scale
+DTYPE_BYTES = 2         # bf16 features
+
+
+def build_graph(kind: str, n: int, avg_deg: int, seed: int = 1):
+    rng = np.random.RandomState(seed)
+    if kind == "uniform":
+        row = rng.randint(0, n, n * avg_deg)
+        col = rng.randint(0, n, n * avg_deg)
+    else:  # sbm: 40 communities, 75% of edges within the community
+        c = 40
+        block = (n + c - 1) // c
+        comm = rng.randint(0, c, n * avg_deg)
+        row = (comm * block + rng.randint(0, block, n * avg_deg)) % n
+        within = rng.rand(n * avg_deg) < 0.75
+        col_in = (comm * block + rng.randint(0, block, n * avg_deg)) % n
+        col_out = rng.randint(0, n, n * avg_deg)
+        col = np.where(within, col_in, col_out)
+    keep = row != col
+    row, col = row[keep], col[keep]
+    order = np.lexsort((col, row))
+    return row[order], col[order]
+
+
+def analyze(kind: str, n: int, d: int, shards, avg_deg: int = 14):
+    from graphax.dist.partition import partition_graph
+    from graphax.sparse import Graph
+
+    row, col = build_graph(kind, n, avg_deg)
+    e = len(row)
+    g = Graph.from_edges(row, col, n)
+    rows = []
+    for p in shards:
+        part = partition_graph(g, p)
+        edges_per = part.edge_mask.sum(axis=1)
+        # distinct remote nodes each shard receives per NFE (exact: the halo
+        # slot tables; padded slots excluded by counting real requests)
+        halo_per = np.zeros(p, np.int64)
+        for s in range(p):
+            cols_s = np.asarray(col)[np.asarray(row) // part.block_size == s]
+            remote = cols_s[(cols_s < s * part.block_size)
+                            | (cols_s >= (s + 1) * part.block_size)]
+            halo_per[s] = len(np.unique(remote))
+        halo_bytes = halo_per.max() * d * DTYPE_BYTES
+        slots_shard = part.local_row.shape[1]
+        t_comp = T_SPMM_1CHIP * (slots_shard / e)
+        t_halo = halo_bytes / ICI_BW
+        eff_overlap = t_comp / max(t_comp, t_halo)
+        eff_serial = t_comp / (t_comp + t_halo)
+        rows.append(dict(
+            kind=kind, shards=p, edges_max=int(edges_per.max()),
+            halo_nodes_max=int(halo_per.max()),
+            halo_mb=halo_bytes / 1e6,
+            cut_frac=float(halo_per.sum() / e),
+            t_comp_ms=t_comp * 1e3, t_halo_ms=t_halo * 1e3,
+            eff_overlap=eff_overlap, eff_serial=eff_serial))
+    return e, rows
+
+
+def parity_check():
+    """sharded halo SpMM == single-device SpMM on the virtual CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from graphax.dist.partition import partition_graph, shard_nodes, \
+        unshard_nodes
+    from graphax.dist.sharded import sharded_spmm_halo
+    from graphax.sparse import Graph, ops
+
+    rng = np.random.RandomState(0)
+    n, e, d = 700, 4200, 24
+    row = rng.randint(0, n, e); col = rng.randint(0, n, e)
+    keep = row != col; row, col = row[keep], col[keep]
+    order = np.lexsort((col, row))
+    w = (rng.rand(len(order)) + 0.1).astype(np.float32)
+    g = Graph.from_edges(row[order], col[order], n, edge_weight=w)
+    x = rng.randn(n, d).astype(np.float32)
+
+    want = ops.spmm(g.row, g.col, g.edge_weight, jnp.asarray(x), n)
+    results = {}
+    for p in (2, 4, 8):
+        part = partition_graph(g, p)
+        mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
+        f = sharded_spmm_halo(mesh, part)
+        xs = jnp.asarray(shard_nodes(x, part))
+        got = unshard_nodes(np.asarray(f(xs)), part)
+        err = float(np.abs(got - np.asarray(want)[:n]).max())
+        results[p] = err
+    return results
+
+
+def main(out_path="SCALING.md"):
+    shards = (2, 4, 8, 16)
+    n, d = 169_343, 162
+    sections = []
+    for kind in ("uniform", "sbm"):
+        e, rows = analyze(kind, n, d, shards)
+        sections.append((kind, e, rows))
+    parity = parity_check()
+
+    with open(out_path, "w") as f:
+        f.write("# SCALING — edge-partitioned multi-chip model\n\n")
+        f.write(
+            "Hardware: one v5e chip is available, so multi-chip numbers are\n"
+            "(a) **exact communication volumes** from the partition tables,\n"
+            "(b) an **analytic per-NFE model** anchored to the measured\n"
+            f"single-chip SpMM RHS ({T_SPMM_1CHIP*1e3:.1f} ms at ogbn-arxiv "
+            "scale, bench.py),\n"
+            f"assuming {ICI_BW/1e9:.0f} GB/s one-way ICI per chip, and\n"
+            "(c) **numerical parity** of the sharded path on a virtual CPU "
+            "mesh.\n\n"
+            "Design (graphax.dist): contiguous row blocks per chip, edges "
+            "live with their aggregation row, one `all_to_all` of boundary "
+            "node features per RHS evaluation (halo), overlappable with the "
+            "local-block SpMM (double buffering).\n\n")
+        for kind, e, rows in sections:
+            label = ("uniform random (worst case: no community structure)"
+                     if kind == "uniform" else
+                     "40-community SBM (75% within-community edges)")
+            f.write(f"## {label} — N={n:,}, E={e:,}, D={d} bf16\n\n")
+            f.write("| chips | edges/chip | halo nodes/chip | halo MB/NFE | "
+                    "edge-cut frac | T_comp ms | T_halo ms | eff (overlap) | "
+                    "eff (serial) |\n|---|---|---|---|---|---|---|---|---|\n")
+            for r in rows:
+                f.write(f"| {r['shards']} | {r['edges_max']:,} | "
+                        f"{r['halo_nodes_max']:,} | {r['halo_mb']:.2f} | "
+                        f"{r['cut_frac']:.2f} | {r['t_comp_ms']:.2f} | "
+                        f"{r['t_halo_ms']:.2f} | {r['eff_overlap']:.0%} | "
+                        f"{r['eff_serial']:.0%} |\n")
+            f.write("\n")
+        f.write("## Sharded-path parity (virtual 8-device CPU mesh)\n\n")
+        f.write("`sharded_spmm_halo` vs single-device SpMM, max abs error:\n\n")
+        for p, err in parity.items():
+            f.write(f"- {p} shards: {err:.2e}\n")
+        f.write(
+            "\nReading: on community-structured graphs (every real "
+            "benchmark), contiguous row blocks keep the cut small and the "
+            "halo all_to_all hides entirely under local compute through 16 "
+            "chips. The uniform-random graph is the adversarial bound — at "
+            "high chip counts the halo approaches all remote features and "
+            "the design degrades toward the all_gather strategy "
+            "(`sharded_spmm_allgather`), which is why both are provided.\n")
+    print(open(out_path).read())
+
+
+if __name__ == "__main__":
+    # whole report runs on the virtual CPU mesh (must configure pre-backend)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING.md")
+    main(ap.parse_args().out)
