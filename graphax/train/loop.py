@@ -92,6 +92,8 @@ class Trainer:
         self._train_step = jax.jit(self._train_step_impl) if jit \
             else self._train_step_impl
         self._eval = jax.jit(self._eval_impl) if jit else self._eval_impl
+        self._eval_early = jax.jit(self._eval_early_impl) if jit \
+            else self._eval_early_impl
 
     # -- pure steps ----------------------------------------------------
 
@@ -167,13 +169,18 @@ class Trainer:
         accs, aux = self._eval(state.params, state.model_state, self.data)
         return tuple(float(a) for a in accs)
 
-    def evaluate_early(self, state: TrainState):
-        cfg, data = self.cfg, self.data
-        feat, _ = self._prepare_features(None, train=False)
+    def _eval_early_impl(self, params, model_state, data: GraphData):
+        # jitted: the unjitted early-stop eval runs the whole adaptive solve
+        # op-by-op — hundreds of per-op dispatches per epoch (each a full
+        # tunnel round trip under axon)
+        feat, _ = self._prepare_features(None, train=False, data=data)
         return evaluate_early_stop(
-            cfg, self.model, state.params, state.model_state, data.graph,
+            self.cfg, self.model, params, model_state, data.graph,
             feat, data.y, data.train_mask, data.val_mask, data.test_mask,
             pos_encoding=data.pos_encoding)
+
+    def evaluate_early(self, state: TrainState):
+        return self._eval_early(state.params, state.model_state, self.data)
 
     def rewire_knn(self, state: TrainState):
         """kNN-rewire the dataset graph every `rewire_KNN_epoch` epochs
@@ -201,6 +208,8 @@ class Trainer:
             else self._train_step_impl
         self._eval = jax.jit(self._eval_impl) if self._jit \
             else self._eval_impl
+        self._eval_early = jax.jit(self._eval_early_impl) if self._jit \
+            else self._eval_early_impl
 
     def fit(self, epochs: Optional[int] = None, log_every: int = 0,
             use_early_stop: Optional[bool] = None, seed: Optional[int] = None,
@@ -232,15 +241,25 @@ class Trainer:
                 self.rewire_knn(state)
             if cfg.edge_sampling and epoch % cfg.edge_sampling_epoch == 0:
                 self.rewire_edge_sampling(state)
-            state, loss = self.train_step(state)
+            # one host transfer per epoch: collect device scalars, then a
+            # single device_get (each separate float()/int() pull pays a
+            # full dispatch round trip under the axon tunnel)
+            state, loss_d, aux = self._train_step(state, self.data)
             if use_early_stop:
-                res = self.evaluate_early(state)
-                tmp = (float(res.best_train), float(res.best_val),
-                       float(res.best_test))
-                best_time = float(res.best_time)
+                res = self._eval_early(state.params, state.model_state,
+                                       self.data)
+                pulled = jax.device_get((loss_d, aux["nfe"], res.best_train,
+                                         res.best_val, res.best_test,
+                                         res.best_time))
+                loss, nfe, *tmp, best_time = (float(v) for v in pulled)
             else:
-                tmp = self.evaluate(state)
+                accs, _ = self._eval(state.params, state.model_state,
+                                     self.data)
+                pulled = jax.device_get((loss_d, aux["nfe"]) + accs)
+                loss, nfe, *tmp = (float(v) for v in pulled)
                 best_time = cfg.time
+            self.fm.update(int(nfe))
+            self.bm.update(int(nfe))
             train_acc, val_acc, test_acc = tmp
             if val_acc > best["val_acc"]:
                 best.update(val_acc=val_acc, test_acc=test_acc,
