@@ -13,7 +13,9 @@ import pickle
 import time
 
 
-def run_experiment(dataset: str = "Cora", methods=("euler", "rk4", "dopri5"),
+def run_experiment(dataset: str = "Cora",
+                   methods=("euler", "rk4", "dopri5", "explicit_adams",
+                            "implicit_adams"),
                    step_sizes=(1.0, 0.5, 0.25), runs: int = 1,
                    epochs: int = 20, results_dir: str = "./results",
                    data_dir: str = "./data", base_overrides=None) -> dict:
@@ -30,8 +32,9 @@ def run_experiment(dataset: str = "Cora", methods=("euler", "rk4", "dopri5"),
     data = get_dataset(dataset, data_dir=data_dir)
 
     for method in methods:
-        sizes = step_sizes if method in ("euler", "rk4", "midpoint") \
-            else (1.0,)
+        fixed = method in ("euler", "rk4", "midpoint", "explicit_adams",
+                           "implicit_adams")
+        sizes = step_sizes if fixed else (1.0,)
         for dt in sizes:
             for run in range(runs):
                 cfg = Config(**base, method=method, step_size=dt)

@@ -16,6 +16,7 @@ from graphax.ode.solvers import (
     odeint,
     odeint_adjoint,
     FIXED_STEP_METHODS,
+    ADAMS_METHODS,
     ADAPTIVE_METHODS,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "odeint",
     "odeint_adjoint",
     "FIXED_STEP_METHODS",
+    "ADAMS_METHODS",
     "ADAPTIVE_METHODS",
 ]

@@ -159,3 +159,44 @@ def test_jit_compatible():
 
     np.testing.assert_allclose(run(jnp.ones(3)), np.exp(-1) * np.ones(3),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+def test_adams_accuracy(method):
+    """AB4 / AM4-PECE on exp decay: 4th-order accuracy at modest steps
+    (reference runs torchdiffeq's explicit/implicit_adams,
+    `src/run_explicit_implicit_exp.py:304-307`)."""
+    y0 = jnp.ones((4,))
+    res = odeint(exp_decay, y0, 0.0, 1.0, method=method, step_size=0.025)
+    np.testing.assert_allclose(res.y, np.exp(-1.0) * np.ones(4), rtol=1e-6)
+    assert res.success
+
+
+@pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+def test_adams_order_four(method):
+    """Halving the step shrinks the error ~16x (order 4)."""
+    y0 = jnp.ones((2,))
+    exact = np.exp(-2.0)
+
+    def err(dt):
+        r = odeint(exp_decay, y0, 0.0, 2.0, method=method, step_size=dt)
+        return float(np.abs(np.asarray(r.y) - exact).max())
+
+    e1, e2 = err(0.2), err(0.1)
+    assert e2 < e1 / 8     # allow slack vs the asymptotic 16x
+
+
+def test_adams_observer_and_oscillator():
+    """Harmonic oscillator (nonlinear in state coupling): y'' = -y as a
+    2-state system; observer sees monotone time."""
+    def f(t, y):
+        return jnp.stack([y[1], -y[0]])
+
+    y0 = jnp.asarray([1.0, 0.0])
+    seen = Observer(init=jnp.asarray(-1.0),
+                    update=lambda c, t, y: jnp.maximum(c, t))
+    res = odeint(f, y0, 0.0, 3.1, method="implicit_adams", step_size=0.05,
+                 observer=seen)
+    np.testing.assert_allclose(
+        np.asarray(res.y), [np.cos(3.1), -np.sin(3.1)], atol=1e-5)
+    assert float(res.observer) > 3.0
