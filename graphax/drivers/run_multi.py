@@ -94,7 +94,10 @@ def train_image_dataset(name: str = "MNIST", epochs: int = 2,
             params, opt_state, loss = step(params, opt_state,
                                            jnp.asarray(xb), jnp.asarray(yb),
                                            sub)
-            losses.append(float(np.ravel(np.asarray(loss))[0]))
+            # keep losses on device: a float() per batch would force a
+            # host sync every step and serialize dispatches
+            losses.append(loss)
+        losses = [float(np.ravel(v)[0]) for v in jax.device_get(losses)]
         acc = float(accuracy(params, jnp.asarray(xs_test),
                              jnp.asarray(ys_test)))
         history.append(dict(epoch=epoch, loss=float(np.mean(losses)),
@@ -159,7 +162,8 @@ def train_clevr_style(epochs: int = 2, batch_size: int = 4,
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(xb), jnp.asarray(qb),
                 jnp.asarray(yb), sub)
-            losses.append(float(loss))
+            losses.append(loss)
+        losses = jax.device_get(losses)
         history.append(dict(epoch=epoch, loss=float(np.mean(losses))))
         if log:
             print(f"[CLEVR-style] epoch {epoch} loss "

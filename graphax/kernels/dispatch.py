@@ -17,7 +17,7 @@ from graphax.kernels.tiles import RowTiles, build_row_tiles
 from graphax.sparse import ops as xla_ops
 
 
-def attach_tiles(graph, tile: int = 128, block_edges: int = 2048,
+def attach_tiles(graph, tile: int = 128, block_edges: int = None,
                  transpose: bool = True):
     """Return a copy of ``graph`` carrying the row-tiled layout (host-side
     preprocessing; edge buffers must be sorted by row).
