@@ -47,6 +47,8 @@ class EdgePartition:
     halo_size: int          # H
     pair_size: int          # Hp
     node_mask: np.ndarray   # [P, Nb] bool — real (non-pad) nodes
+    node_ids: np.ndarray = None  # [P, Nb] int64 original node id per slot
+                                 # (-1 pad); None = contiguous id blocks
 
     @property
     def padded_nodes(self) -> int:
@@ -54,7 +56,14 @@ class EdgePartition:
 
 
 def partition_graph(graph: Graph, num_shards: int,
-                    pad_multiple: int = 8) -> EdgePartition:
+                    pad_multiple: int = 8,
+                    method: str = "contiguous") -> EdgePartition:
+    """Owner-computes edge partition. ``method="contiguous"`` assigns node
+    blocks by raw id ranges; ``method="bfs"`` first runs the native balanced
+    BFS region-growing partitioner (graphax.native.partition_bfs — the
+    METIS-lite "graph growing" heuristic) and relabels nodes so each part is
+    a contiguous block, typically cutting the halo several-fold on
+    community-structured graphs (see SCALING.md)."""
     row = np.asarray(graph.row)
     col = np.asarray(graph.col)
     w = np.asarray(graph.edge_weight)
@@ -62,6 +71,25 @@ def partition_graph(graph: Graph, num_shards: int,
     row, col, w = row[mask], col[mask], w[mask]
     n, p = graph.num_nodes, num_shards
     nb = _round_up((n + p - 1) // p, pad_multiple)
+
+    node_ids = None
+    part_sizes = [max(min(n - s * nb, nb), 0) for s in range(p)]
+    if method == "bfs":
+        from graphax import native
+
+        labels, _cut = native.partition_bfs(row, col, n, p, nb)
+        node_ids = np.full((p, nb), -1, np.int64)
+        newpos = np.empty(n, np.int64)
+        part_sizes = []
+        for s in range(p):
+            ids = np.where(labels == s)[0]
+            node_ids[s, :len(ids)] = ids
+            newpos[ids] = s * nb + np.arange(len(ids))
+            part_sizes.append(len(ids))
+        row = newpos[row]
+        col = newpos[col]
+    elif method != "contiguous":
+        raise ValueError(f"unknown partition method {method!r}")
 
     owner = row // nb
     # per-shard edge lists
@@ -91,7 +119,7 @@ def partition_graph(graph: Graph, num_shards: int,
 
     for s in range(p):
         lo = s * nb
-        node_mask[s, :max(min(n - lo, nb), 0)] = True
+        node_mask[s, :part_sizes[s]] = True
         # halo coordinate map: global id -> extended local index
         halo_pos = {}
         slot = 0
@@ -120,22 +148,35 @@ def partition_graph(graph: Graph, num_shards: int,
         num_shards=p, num_nodes=n, block_size=nb, local_row=local_row,
         local_col=local_col, edge_weight=edge_weight, edge_mask=edge_mask,
         send_idx=send_idx, halo_gather=halo_gather, halo_size=h,
-        pair_size=hp, node_mask=node_mask)
+        pair_size=hp, node_mask=node_mask, node_ids=node_ids)
 
 
 def shard_nodes(x: np.ndarray, part: EdgePartition) -> np.ndarray:
-    """[N, D] node array → [P, Nb, D] stacked shards (zero-padded)."""
+    """[N, D] node array → [P, Nb, D] stacked shards (zero-padded), applying
+    the partition's node relabeling when present (bfs method)."""
     n, d = x.shape
     out = np.zeros((part.num_shards, part.block_size, d), x.dtype)
     for s in range(part.num_shards):
-        lo = s * part.block_size
-        hi = min(lo + part.block_size, n)
-        if hi > lo:
-            out[s, : hi - lo] = x[lo:hi]
+        if part.node_ids is not None:
+            ids = part.node_ids[s]
+            real = ids >= 0
+            out[s, real] = x[ids[real]]
+        else:
+            lo = s * part.block_size
+            hi = min(lo + part.block_size, n)
+            if hi > lo:
+                out[s, : hi - lo] = x[lo:hi]
     return out
 
 
 def unshard_nodes(xs: np.ndarray, part: EdgePartition) -> np.ndarray:
-    """[P, Nb, D] → [N, D]."""
+    """[P, Nb, D] → [N, D] (inverse of :func:`shard_nodes`)."""
     p, nb, d = xs.shape
-    return xs.reshape(p * nb, d)[: part.num_nodes]
+    if part.node_ids is None:
+        return np.asarray(xs).reshape(p * nb, d)[: part.num_nodes]
+    out = np.zeros((part.num_nodes, d), xs.dtype)
+    for s in range(p):
+        ids = part.node_ids[s]
+        real = ids >= 0
+        out[ids[real]] = np.asarray(xs)[s][real]
+    return out

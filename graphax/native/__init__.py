@@ -60,6 +60,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.gx_row_tiles.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64,
                                  ctypes.c_int64, ctypes.c_int64, i64p, i64p,
                                  i64p, i64p]
+    lib.gx_partition_grow.restype = ctypes.c_int64
+    lib.gx_partition_grow.argtypes = [i64p, i64p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, i64p]
     _LIB = lib
     return lib
 
@@ -166,3 +170,62 @@ def row_tiles(row, col, num_nodes: int, tile: int, block_edges: int):
     shape = (nb, block_edges)
     return (edge_slot.reshape(shape), col_out.reshape(shape),
             local_row.reshape(shape), tile_idx)
+
+
+def partition_bfs(row, col, num_nodes: int, num_parts: int, cap: int):
+    """Balanced greedy (max-gain) region-growing labels [N] in
+    [0, num_parts); native with a Python fallback that matches the native
+    order bit-for-bit. Returns (labels, edge_cut)."""
+    row, col = _i64(row), _i64(col)
+    e = len(row)
+    lib = get_lib()
+    if lib is not None:
+        labels = np.empty(num_nodes, np.int64)
+        cut = lib.gx_partition_grow(
+            _ptr(row, ctypes.c_int64), _ptr(col, ctypes.c_int64), e,
+            num_nodes, num_parts, cap, _ptr(labels, ctypes.c_int64))
+        return labels, int(cut)
+    # Python fallback (same greedy max-gain growing, identical order)
+    import heapq
+    ptr = np.zeros(num_nodes + 1, np.int64)
+    np.add.at(ptr, row + 1, 1)
+    np.add.at(ptr, col + 1, 1)
+    ptr = np.cumsum(ptr)
+    adj = np.empty(2 * e, np.int64)
+    cur = ptr[:-1].copy()
+    for i in range(e):          # interleaved exactly like the C++ builder
+        adj[cur[row[i]]] = col[i]
+        cur[row[i]] += 1
+        adj[cur[col[i]]] = row[i]
+        cur[col[i]] += 1
+    labels = np.full(num_nodes, -1, np.int64)
+    next_scan = 0
+    for s in range(num_parts):
+        gain = np.zeros(num_nodes, np.int64)
+        heap = []   # (-gain, node): pop = (max gain, min id)
+
+        def admit(v):
+            labels[v] = s
+            for u in adj[ptr[v]:ptr[v + 1]]:
+                if labels[u] == -1:
+                    gain[u] += 1
+                    heapq.heappush(heap, (-int(gain[u]), int(u)))
+
+        count = 0
+        while count < cap:
+            pick = -1
+            while heap:
+                g_neg, u = heapq.heappop(heap)
+                if labels[u] == -1 and gain[u] == -g_neg:
+                    pick = u
+                    break
+            if pick == -1:
+                while next_scan < num_nodes and labels[next_scan] != -1:
+                    next_scan += 1
+                if next_scan == num_nodes:
+                    break
+                pick = next_scan
+            admit(pick)
+            count += 1
+    cut = int((labels[row] != labels[col]).sum())
+    return labels, cut

@@ -49,33 +49,38 @@ def build_graph(kind: str, n: int, avg_deg: int, seed: int = 1):
         col_in = (comm * block + rng.randint(0, block, n * avg_deg)) % n
         col_out = rng.randint(0, n, n * avg_deg)
         col = np.where(within, col_in, col_out)
+        # real datasets' node ids are NOT sorted by community — shuffle so
+        # contiguous id blocks can't exploit the structure for free and the
+        # partitioners have to find it
+        perm = rng.permutation(n)
+        row, col = perm[row], perm[col]
     keep = row != col
     row, col = row[keep], col[keep]
     order = np.lexsort((col, row))
     return row[order], col[order]
 
 
-def analyze(kind: str, n: int, d: int, shards, avg_deg: int = 14):
-    from graphax.dist.partition import partition_graph
-    from graphax.sparse import Graph
+def analyze(kind: str, n: int, d: int, shards, avg_deg: int = 14,
+            method: str = "contiguous"):
+    from graphax import native
 
     row, col = build_graph(kind, n, avg_deg)
     e = len(row)
-    g = Graph.from_edges(row, col, n)
     rows = []
     for p in shards:
-        part = partition_graph(g, p)
-        edges_per = part.edge_mask.sum(axis=1)
-        # distinct remote nodes each shard receives per NFE (exact: the halo
-        # slot tables; padded slots excluded by counting real requests)
+        nb = ((n + p - 1) // p + 7) // 8 * 8   # round_up(ceil(n/p), 8)
+        if method == "bfs":
+            labels, _ = native.partition_bfs(row, col, n, p, nb)
+        else:
+            labels = np.minimum(np.arange(n) // nb, p - 1)
+        lr, lc = labels[row], labels[col]
+        edges_per = np.bincount(lr, minlength=p)
         halo_per = np.zeros(p, np.int64)
         for s in range(p):
-            cols_s = np.asarray(col)[np.asarray(row) // part.block_size == s]
-            remote = cols_s[(cols_s < s * part.block_size)
-                            | (cols_s >= (s + 1) * part.block_size)]
+            remote = col[(lr == s) & (lc != s)]
             halo_per[s] = len(np.unique(remote))
         halo_bytes = halo_per.max() * d * DTYPE_BYTES
-        slots_shard = part.local_row.shape[1]
+        slots_shard = int(edges_per.max())
         t_comp = T_SPMM_1CHIP * (slots_shard / e)
         t_halo = halo_bytes / ICI_BW
         eff_overlap = t_comp / max(t_comp, t_halo)
@@ -128,8 +133,9 @@ def main(out_path="SCALING.md"):
     n, d = 169_343, 162
     sections = []
     for kind in ("uniform", "sbm"):
-        e, rows = analyze(kind, n, d, shards)
-        sections.append((kind, e, rows))
+        for method in ("contiguous", "bfs"):
+            e, rows = analyze(kind, n, d, shards, method=method)
+            sections.append((f"{kind}/{method}", e, rows))
     parity = parity_check()
 
     with open(out_path, "w") as f:
@@ -148,9 +154,12 @@ def main(out_path="SCALING.md"):
             "node features per RHS evaluation (halo), overlappable with the "
             "local-block SpMM (double buffering).\n\n")
         for kind, e, rows in sections:
-            label = ("uniform random (worst case: no community structure)"
-                     if kind == "uniform" else
-                     "40-community SBM (75% within-community edges)")
+            base = ("uniform random (worst case: no community structure)"
+                    if kind.startswith("uniform") else
+                    "40-community SBM (75% within-community edges, shuffled ids)")
+            part = ("contiguous id blocks" if kind.endswith("contiguous")
+                    else "native BFS region-growing partitioner")
+            label = f"{base} — {part}"
             f.write(f"## {label} — N={n:,}, E={e:,}, D={d} bf16\n\n")
             f.write("| chips | edges/chip | halo nodes/chip | halo MB/NFE | "
                     "edge-cut frac | T_comp ms | T_halo ms | eff (overlap) | "

@@ -256,3 +256,56 @@ def test_sharded_grand_trainer_end_to_end(function):
     acc = (logits.argmax(1) == np.asarray(data.y))[
         np.asarray(data.train_mask)].mean()
     assert acc > 0.6  # learned something on train nodes
+
+
+def _community_graph_shuffled(n=240, parts=4, seed=3):
+    """SBM whose communities do NOT align with node-id order (ids shuffled)
+    — raw contiguous blocks cut most edges, BFS growing recovers them."""
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    block = n // parts
+    rows, cols = [], []
+    for c in range(parts):
+        ids = perm[c * block:(c + 1) * block]
+        r = ids[rng.randint(0, block, 900)]
+        s = ids[rng.randint(0, block, 900)]
+        rows.append(r); cols.append(s)
+    # sparse cross-community edges
+    rows.append(rng.randint(0, n, 40)); cols.append(rng.randint(0, n, 40))
+    row = np.concatenate(rows); col = np.concatenate(cols)
+    keep = row != col
+    return build.build_graph(row[keep], col[keep], n, make_undirected=True,
+                             self_loop_weight=1.0, pad_multiple=16)
+
+
+def test_bfs_partition_parity_and_smaller_halo():
+    from jax.sharding import Mesh
+    from graphax.dist.sharded import sharded_spmm_halo
+
+    g = _community_graph_shuffled()
+    x = np.random.RandomState(0).randn(g.num_nodes, 8).astype(np.float32)
+    want = np.asarray(reference_spmm(g, x))
+
+    halos = {}
+    for method in ("contiguous", "bfs"):
+        part = partition_graph(g, 4, method=method)
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("graph",))
+        f = sharded_spmm_halo(mesh, part)
+        xs = jnp.asarray(shard_nodes(x, part))
+        got = unshard_nodes(np.asarray(f(xs)), part)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        halos[method] = part.halo_size
+    # BFS recovers the shuffled communities -> much smaller halo
+    assert halos["bfs"] * 2 <= halos["contiguous"], halos
+
+
+def test_bfs_partition_balanced_and_covering():
+    g = _community_graph_shuffled(seed=9)
+    part = partition_graph(g, 4, method="bfs")
+    assert int(part.edge_mask.sum()) == int(g.num_edges)
+    sizes = part.node_mask.sum(axis=1)
+    assert sizes.sum() == g.num_nodes
+    assert sizes.max() <= part.block_size
+    # node_ids is a permutation of all nodes
+    ids = part.node_ids[part.node_ids >= 0]
+    assert sorted(ids.tolist()) == list(range(g.num_nodes))
