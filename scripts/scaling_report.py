@@ -158,7 +158,7 @@ def main(out_path="SCALING.md"):
                     if kind.startswith("uniform") else
                     "40-community SBM (75% within-community edges, shuffled ids)")
             part = ("contiguous id blocks" if kind.endswith("contiguous")
-                    else "native BFS region-growing partitioner")
+                    else "native greedy region-growing partitioner")
             label = f"{base} — {part}"
             f.write(f"## {label} — N={n:,}, E={e:,}, D={d} bf16\n\n")
             f.write("| chips | edges/chip | halo nodes/chip | halo MB/NFE | "
@@ -176,12 +176,16 @@ def main(out_path="SCALING.md"):
         for p, err in parity.items():
             f.write(f"- {p} shards: {err:.2e}\n")
         f.write(
-            "\nReading: on community-structured graphs (every real "
-            "benchmark), contiguous row blocks keep the cut small and the "
-            "halo all_to_all hides entirely under local compute through 16 "
-            "chips. The uniform-random graph is the adversarial bound — at "
-            "high chip counts the halo approaches all remote features and "
-            "the design degrades toward the all_gather strategy "
+            "\nReading: real benchmark graphs have community structure but "
+            "arbitrary node ids. The native greedy max-gain region-growing "
+            "partitioner (graphax.native.partition_bfs, "
+            "partition_graph(method='bfs')) recovers the communities and "
+            "roughly halves the halo vs raw contiguous id blocks (8 chips: "
+            "39.7 -> 20.8 MB/NFE, serial-bound efficiency 80% -> 89%); "
+            "with the designed overlap the halo hides entirely under local "
+            "compute through 16 chips. The uniform-random graph is the "
+            "adversarial bound — no partitioner can help and the design "
+            "degrades toward the all_gather strategy "
             "(`sharded_spmm_allgather`), which is why both are provided.\n")
     print(open(out_path).read())
 
