@@ -71,43 +71,108 @@ def sample_config(base: Config, space: Dict[str, Any],
     return base.replace(**kw)
 
 
+def _save_sweep_state(path: str, trials, rung: int, alive_ids) -> None:
+    import dataclasses
+    import json
+    import os
+
+    payload = {
+        "rung": rung,
+        "alive_ids": list(alive_ids),
+        "trials": [{**t, "cfg": dataclasses.asdict(t["cfg"])}
+                   for t in trials],
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _load_sweep_state(path: str):
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        payload = json.load(f)
+    for t in payload["trials"]:
+        t["cfg"] = Config(**t["cfg"])
+    return payload
+
+
 def asha_sweep(make_trainer: Callable[[Config], Any], base: Config,
                space: Optional[Dict[str, Any]] = None, num_samples: int = 16,
                max_epochs: int = 64, grace_period: int = 4,
                reduction_factor: int = 4, seed: int = 0,
-               verbose: bool = False) -> Dict[str, Any]:
+               verbose: bool = False,
+               checkpoint_dir: Optional[str] = None) -> Dict[str, Any]:
     """Asynchronous-successive-halving style sweep, run synchronously rung
     by rung: every surviving trial trains to the next rung budget and the
     top 1/reduction_factor continue. ``make_trainer(cfg)`` must return an
-    object with ``fit(epochs) -> {'best': {'val_acc': ...}, 'state': ...}``
-    that can resume via its returned state."""
+    object with ``fit(epochs) -> {'best': {'val_acc': ...}}``.
+
+    ``checkpoint_dir`` makes the sweep resumable, mirroring the reference's
+    per-epoch Ray trial checkpoints (`src/graph_datasets/ray_tune.py:
+    167-197`, SURVEY §5.4): the trial table is persisted after every trial
+    completes a rung, each trial's model/optimizer state checkpoints into
+    ``trial_{id}.ckpt`` (so later rungs CONTINUE training instead of
+    restarting, and a killed sweep resumes where it stopped)."""
+    import os
+
     space = space or SEARCH_SPACES.get(base.dataset,
                                        SEARCH_SPACES["default"])
-    rng = np.random.RandomState(seed)
-    trials: List[Dict[str, Any]] = [
-        {"cfg": sample_config(base, space, rng), "epochs_done": 0,
-         "val_acc": 0.0, "test_acc": 0.0, "id": i}
-        for i in range(num_samples)
-    ]
+    state_path = None
+    saved = None
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        state_path = os.path.join(checkpoint_dir, "sweep_state.json")
+        saved = _load_sweep_state(state_path)
 
-    rung = grace_period
-    alive = trials
+    if saved is not None:
+        trials = saved["trials"]
+        rung = saved["rung"]
+        alive = [t for t in trials if t["id"] in set(saved["alive_ids"])]
+    else:
+        rng = np.random.RandomState(seed)
+        trials = [
+            {"cfg": sample_config(base, space, rng), "epochs_done": 0,
+             "val_acc": 0.0, "test_acc": 0.0, "id": i}
+            for i in range(num_samples)
+        ]
+        rung = grace_period
+        alive = list(trials)
+
     while alive:
         for t in alive:
+            if t["epochs_done"] >= rung:
+                continue    # already trained to this rung (resume path)
             trainer = make_trainer(t["cfg"])
-            result = trainer.fit(epochs=rung)
+            fit_kwargs = {}
+            if checkpoint_dir is not None:
+                fit_kwargs = dict(
+                    checkpoint_path=os.path.join(checkpoint_dir,
+                                                 f"trial_{t['id']}.ckpt"),
+                    checkpoint_every=1)
+            result = trainer.fit(epochs=rung, **fit_kwargs)
             t["epochs_done"] = rung
             t["val_acc"] = result["best"]["val_acc"]
             t["test_acc"] = result["best"]["test_acc"]
             if verbose:
                 print(f"trial {t['id']:3d} @ {rung:3d}ep: "
                       f"val {t['val_acc']:.4f}")
+            if state_path is not None:
+                _save_sweep_state(state_path, trials, rung,
+                                  [a["id"] for a in alive])
         if rung >= max_epochs:
             break
         alive.sort(key=lambda t: -t["val_acc"])
         keep = max(len(alive) // reduction_factor, 1)
         alive = alive[:keep]
         rung = min(rung * reduction_factor, max_epochs)
+        if state_path is not None:
+            _save_sweep_state(state_path, trials, rung,
+                              [a["id"] for a in alive])
 
     best = max(trials, key=lambda t: t["val_acc"])
     return {"best_config": best["cfg"], "best_val": best["val_acc"],

@@ -162,3 +162,38 @@ def test_multimodal_dp_training():
     losses = [h["loss"] for h in out["history"]]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_asha_sweep_checkpoint_resume():
+    """Resumable sweeps (SURVEY §5.4): the trial table persists per rung;
+    a restarted sweep skips completed work and returns the same result."""
+    import os
+    from graphax.data import make_sbm_dataset
+    from graphax.train import Trainer
+
+    data = make_sbm_dataset(num_nodes=80, num_features=8, num_classes=3,
+                            p_in=0.15, p_out=0.01, seed=0)
+    base = Config(hidden_dim=8, block="constant", function="laplacian",
+                  method="euler", step_size=1.0, time=1.0, no_early=True,
+                  self_loop_weight=1.0, input_dropout=0.0, dropout=0.0)
+    space = {"lr": ("loguniform", 1e-3, 1e-1)}
+    calls = []
+
+    def make(cfg):
+        calls.append(cfg.lr)
+        return Trainer(cfg, data)
+
+    with tempfile.TemporaryDirectory() as td:
+        out1 = asha_sweep(make, base, space, num_samples=3, max_epochs=4,
+                          grace_period=2, reduction_factor=2,
+                          checkpoint_dir=td)
+        n_fits = len(calls)
+        assert os.path.exists(os.path.join(td, "sweep_state.json"))
+        assert os.path.exists(os.path.join(td, "trial_0.ckpt.npz"))
+        # a "crashed-and-restarted" sweep: same dir, fresh process state
+        out2 = asha_sweep(make, base, space, num_samples=3, max_epochs=4,
+                          grace_period=2, reduction_factor=2,
+                          checkpoint_dir=td)
+        assert len(calls) == n_fits          # no trial re-trained
+        assert out2["best_val"] == out1["best_val"]
+        assert abs(out2["best_config"].lr - out1["best_config"].lr) < 1e-12
