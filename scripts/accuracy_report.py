@@ -53,6 +53,26 @@ def run_all(epochs_small=10, epochs_large=3, datasets=None, out_path=None):
                              total_s=round(time.time() - t0, 1)))
         print(json.dumps(rows[-1]), flush=True)
 
+    # multimodal pixel-grid path (GNN_multi / run_multi parity)
+    mm_row = None
+    try:
+        import time as _t
+        from graphax.drivers.run_multi import train_image_dataset
+        t0 = _t.time()
+        mm = train_image_dataset("MNIST", epochs=5, batch_size=16,
+                                 train_size=256, test_size=128, log=False)
+        h = mm["history"]
+        mm_row = dict(acc=h[-1]["test_acc"],
+                      loss=round(float(h[-1]["loss"]), 4),
+                      epoch_s=round(float(np.mean(
+                          [e["time"] for e in h[1:]])), 3),
+                      total_s=round(_t.time() - t0, 1))
+        print(json.dumps({"dataset": "MNIST-multimodal", **mm_row}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({"dataset": "MNIST-multimodal", "ok": False,
+                          "error": str(e)}), flush=True)
+
     if out_path:
         with open(out_path, "w") as f:
             f.write("# RESULTS — tuned-config training smoke report\n\n")
@@ -74,6 +94,13 @@ def run_all(epochs_small=10, epochs_large=3, datasets=None, out_path=None):
                 else:
                     f.write(f"| {r['dataset']} | FAILED: {r['error'][:60]} "
                             f"| | | | | | |\n")
+            if mm_row is not None:
+                f.write(
+                    "\nMultimodal pixel-grid diffusion (run_multi parity, "
+                    "synthetic MNIST-shaped stand-in, 256 train / 128 "
+                    f"test): test acc {mm_row['acc']:.3f}, "
+                    f"{mm_row['epoch_s']:.2f} s/epoch "
+                    "(batch 16, euler dt=0.25, rmsprop).\n")
     return rows
 
 
