@@ -180,3 +180,67 @@ def unshard_nodes(xs: np.ndarray, part: EdgePartition) -> np.ndarray:
         real = ids >= 0
         out[ids[real]] = np.asarray(xs)[s][real]
     return out
+
+
+def shard_row_tiles(part: EdgePartition, tile: int = 128,
+                    block_edges: int = None):
+    """Per-shard row-tiled block tables for the MXU scatter-free local
+    compute inside shard_map (graphax.kernels.segment_mxu) — the multi-chip
+    version of the single-chip tiled strategy. Returns a
+    :class:`graphax.kernels.tiles.RowTiles` whose arrays carry a leading
+    shard axis [P, ...]; static sizes (tiles / blocks / block_edges) are
+    equalized across shards by padding with inert blocks."""
+    import jax.numpy as jnp
+
+    from graphax.kernels.tiles import RowTiles, build_row_tiles, \
+        choose_block_edges
+
+    p, nb = part.num_shards, part.block_size
+    per = []
+    if block_edges is None:
+        block_edges = max(
+            choose_block_edges(
+                np.sort(part.local_row[s][part.edge_mask[s]]), nb, tile=tile)
+            for s in range(p))
+    for s in range(p):
+        m = part.edge_mask[s]
+        lr = part.local_row[s][m]
+        lc = part.local_col[s][m]
+        slots = np.where(m)[0]
+        order = np.argsort(lr, kind="stable")   # bfs relabel breaks order
+        t = build_row_tiles(lr[order], lc[order], nb,
+                            tile=tile, block_edges=block_edges)
+        # edge_slot indexes the sorted view; remap into the shard buffer
+        remapped = slots[order][np.asarray(t.edge_slot)]
+        per.append((np.where(np.asarray(t.slot_mask), remapped, 0),
+                    np.asarray(t.slot_mask), np.asarray(t.col),
+                    np.asarray(t.local_row), np.asarray(t.tile_idx),
+                    t.num_tiles))
+    num_tiles = per[0][5]
+    b_max = max(x[4].shape[0] for x in per)
+    eb = block_edges
+
+    def pad(es, sm, co, lr_, ti):
+        b = ti.shape[0]
+        if b < b_max:
+            fill_tile = ti[-1] if b else 0
+            es = np.concatenate([es, np.zeros((b_max - b, eb), es.dtype)])
+            sm = np.concatenate([sm, np.zeros((b_max - b, eb), bool)])
+            co = np.concatenate([co, np.zeros((b_max - b, eb), co.dtype)])
+            lr_ = np.concatenate([lr_, np.full((b_max - b, eb), tile,
+                                               lr_.dtype)])
+            ti = np.concatenate([ti, np.full((b_max - b,), fill_tile,
+                                             ti.dtype)])
+        return es, sm, co, lr_, ti
+
+    stacked = [pad(*x[:5]) for x in per]
+    return RowTiles(
+        edge_slot=jnp.asarray(np.stack([x[0] for x in stacked])
+                              .astype(np.int32)),
+        slot_mask=jnp.asarray(np.stack([x[1] for x in stacked])),
+        col=jnp.asarray(np.stack([x[2] for x in stacked]).astype(np.int32)),
+        local_row=jnp.asarray(np.stack([x[3] for x in stacked])
+                              .astype(np.int32)),
+        tile_idx=jnp.asarray(np.stack([x[4] for x in stacked])
+                             .astype(np.int32)),
+        num_tiles=num_tiles, tile=tile, block_edges=eb, num_nodes=nb)

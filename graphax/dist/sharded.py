@@ -58,30 +58,55 @@ def _device_tables(part: EdgePartition):
 
 
 def sharded_spmm_halo(mesh: Mesh, part: EdgePartition,
-                      axis_name: str = "graph"):
+                      axis_name: str = "graph", use_tiles: bool = False):
     """Returns ``f(xs [P, Nb, D], weights=None) -> [P, Nb, D]`` computing
     ``A @ x`` with the halo all_to_all. ``weights [P, Es]`` optionally
-    overrides the partition's edge weights (e.g. pinned attention)."""
+    overrides the partition's edge weights (e.g. pinned attention).
+
+    ``use_tiles``: the local segment reduction runs on the per-shard
+    row-tiled MXU path (graphax.kernels.segment_mxu — no E-sized scatters)
+    instead of ``jax.ops.segment_sum`` — the production multi-chip compute;
+    numerically interchangeable, pinned by tests."""
     tables = _device_tables(part)
     spec = P(axis_name)
     specs5 = (spec, spec, spec, spec, spec)
+    tiles = None
+    if use_tiles:
+        from graphax.dist.partition import shard_row_tiles
+
+        tiles = shard_row_tiles(part)
 
     @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(spec, specs5), out_specs=spec)
-    def run(xs, tbl):
+                       in_specs=(spec, specs5, spec), out_specs=spec)
+    def run(xs, tbl, tiles_arrs):
         local_row, local_col, weight, send_idx, halo_gather = \
             tuple(t[0] for t in tbl)
         halo = halo_exchange(xs[0], send_idx, halo_gather, part.num_shards,
                              part.pair_size, axis_name)
         x_ext = jnp.concatenate([xs[0], halo], axis=0)
-        out = _local_spmm(local_row, local_col, weight, x_ext,
-                          part.block_size)
+        if tiles is not None:
+            import dataclasses
+
+            from graphax.kernels.segment_mxu import tiled_spmm
+
+            t_local = dataclasses.replace(
+                tiles, **{k: a[0] for k, a in zip(
+                    ("edge_slot", "slot_mask", "col", "local_row",
+                     "tile_idx"), tiles_arrs)})
+            out = tiled_spmm(weight, x_ext, t_local)[:part.block_size]
+        else:
+            out = _local_spmm(local_row, local_col, weight, x_ext,
+                              part.block_size)
         return out[None]
+
+    tiles_arrs = () if tiles is None else (
+        tiles.edge_slot, tiles.slot_mask, tiles.col, tiles.local_row,
+        tiles.tile_idx)
 
     def f(xs, weights=None):
         tbl = tables if weights is None else \
             (tables[0], tables[1], weights, tables[3], tables[4])
-        return run(xs, tbl)
+        return run(xs, tbl, tiles_arrs)
 
     return f
 

@@ -309,3 +309,25 @@ def test_bfs_partition_balanced_and_covering():
     # node_ids is a permutation of all nodes
     ids = part.node_ids[part.node_ids >= 0]
     assert sorted(ids.tolist()) == list(range(g.num_nodes))
+
+
+@pytest.mark.parametrize("method", ["contiguous", "bfs"])
+def test_sharded_spmm_tiled_local_compute(method):
+    """use_tiles=True routes the per-shard reduction through the row-tiled
+    MXU path (no E-sized scatters) — must match both the plain sharded
+    path and the single-device SpMM."""
+    from jax.sharding import Mesh
+    from graphax.dist.sharded import sharded_spmm_halo
+
+    g = _community_graph_shuffled(seed=5)
+    x = np.random.RandomState(1).randn(g.num_nodes, 12).astype(np.float32)
+    want = np.asarray(reference_spmm(g, x))
+    part = partition_graph(g, 4, method=method)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("graph",))
+    xs = jnp.asarray(shard_nodes(x, part))
+    f_plain = sharded_spmm_halo(mesh, part, use_tiles=False)
+    f_tiled = sharded_spmm_halo(mesh, part, use_tiles=True)
+    got_plain = unshard_nodes(np.asarray(f_plain(xs)), part)
+    got_tiled = unshard_nodes(np.asarray(f_tiled(xs)), part)
+    np.testing.assert_allclose(got_tiled, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got_tiled, got_plain, rtol=2e-6, atol=2e-6)
