@@ -15,6 +15,10 @@ reference's torch_scatter kernels — on the same device/dtype/graph.
 
 Timing: K dependent RHS applications chained inside one jit (`lax.scan`),
 so tunnel/dispatch latency amortizes and nothing is constant-folded.
+Completion is forced by fetching a scalar reduction of the final state to
+the host — on the tunneled device platform `jax.block_until_ready` returns
+before the computation has run, so only a host transfer is a real sync.
+The measured round-trip latency of an empty jit call is subtracted.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -25,20 +29,44 @@ import time
 
 import numpy as np
 
+_RTT = None  # host<->device round-trip of a tiny jit call + scalar fetch
+
+
+def _round_trip() -> float:
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        tiny = jax.jit(lambda v: v * 2.0)
+        x = jnp.ones(())
+        float(tiny(x))
+        _RTT = min(_time_fetch(tiny, x) for _ in range(5))
+    return _RTT
+
+
+def _time_fetch(fn, *args):
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return time.perf_counter() - t0
+
 
 def bench_chained(fn, state, *args, iters=10, warmup=1):
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def run(s, *a):
-        return jax.lax.scan(lambda c, _: (fn(c, *a), None), s, None,
-                            length=iters)[0]
+        out = jax.lax.scan(lambda c, _: (fn(c, *a), None), s, None,
+                           length=iters)[0]
+        # scalar output: the host fetch that forces execution moves 4 bytes
+        return jnp.sum(out.astype(jnp.float32))
 
+    rtt = _round_trip()
     for _ in range(warmup):
-        jax.block_until_ready(run(state, *args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(state, *args))
-    return (time.perf_counter() - t0) / iters
+        float(run(state, *args))
+    t = min(_time_fetch(run, state, *args) for _ in range(3))
+    return max(t - rtt, 1e-9) / iters
 
 
 def build_sorted_edges(n, avg_deg, seed=0):
@@ -121,8 +149,8 @@ def main():
     fs_cd = FuncState(graph=gc_dense, x0=xc,
                       dense_adj=densify(gc_dense, gc_dense.edge_weight))
     fs_ce = FuncState(graph=gc_xla, x0=xc)
-    t_cora = bench_chained(rhs_step(f_c), xc, fs_cd, p_c, iters=50)
-    t_cora_base = bench_chained(rhs_step(f_c), xc, fs_ce, p_c, iters=50)
+    t_cora = bench_chained(rhs_step(f_c), xc, fs_cd, p_c, iters=400)
+    t_cora_base = bench_chained(rhs_step(f_c), xc, fs_ce, p_c, iters=400)
 
     print(json.dumps({
         "metric": "attention_rhs_edges_per_s_per_chip",

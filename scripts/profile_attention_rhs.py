@@ -16,37 +16,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(fn, *args, iters=20, warmup=2):
-    import jax
+_RTT = None
 
-    @jax.jit
-    def run(*a):
-        outs = [fn(*a)]
-        return outs[-1]
 
-    for _ in range(warmup):
-        jax.block_until_ready(run(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _round_trip():
+    """On the tunneled device platform block_until_ready returns before the
+    computation runs; only a host fetch is a real sync. Measure its cost."""
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        tiny = jax.jit(lambda v: v * 2.0)
+        x = jnp.ones(())
+        float(tiny(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(tiny(x))
+            ts.append(time.perf_counter() - t0)
+        _RTT = min(ts)
+    return _RTT
 
 
 def chained(fn, state, *args, iters=10, warmup=2):
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
     def run(s, *a):
-        return lax.scan(lambda c, _: (fn(c, *a), None), s, None,
-                        length=iters)[0]
+        out = lax.scan(lambda c, _: (fn(c, *a), None), s, None,
+                       length=iters)[0]
+        return jnp.sum(out.astype(jnp.float32))
 
+    rtt = _round_trip()
     for _ in range(warmup):
-        jax.block_until_ready(run(state, *args))
+        float(run(state, *args))
+    t = min(_once(run, state, *args) for _ in range(3))
+    return max(t - rtt, 1e-9) / iters
+
+
+def _once(run, *args):
     t0 = time.perf_counter()
-    jax.block_until_ready(run(state, *args))
-    return (time.perf_counter() - t0) / iters
+    float(run(*args))
+    return time.perf_counter() - t0
 
 
 def main():
