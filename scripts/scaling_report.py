@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 ICI_BW = 90e9          # bytes/s per chip, aggregate one-way (v5e-order ICI)
-T_SPMM_1CHIP = 14.2e-3  # measured bench.py spmm_rhs_ms at arxiv scale
+T_SPMM_1CHIP = 11.7e-3  # measured bench.py spmm_rhs_ms at arxiv scale (host-fetch-synced timing)
 DTYPE_BYTES = 2         # bf16 features
 
 
