@@ -132,6 +132,41 @@ def main():
     t_lap = bench_chained(rhs_step(f_lap), x, fs_tiled, p_lap)
     t_lap_base = bench_chained(rhs_step(f_lap), x, fs_xla, p_lap)
 
+    # ---- arxiv scale, community-structured (windowed strategy) ----------
+    # Real benchmark graphs have community structure; after community_order
+    # reordering the windowed strategy replaces the granule-bound random
+    # gather with MXU window expansion (graphax.kernels.windows).
+    from graphax.kernels.dispatch import attach_windows
+    from graphax.kernels.windows import community_order
+
+    window = 512
+    comm = rng.randint(0, n // window + 1, n)  # shuffled community labels
+    src = rng.randint(0, n, n * avg_deg)
+    same = rng.rand(n * avg_deg) < 0.75
+    dst = rng.randint(0, n, n * avg_deg)
+    order_c = np.argsort(comm, kind="stable")
+    # map each same-community edge to a random member of src's community
+    starts = np.searchsorted(comm[order_c], np.arange(comm.max() + 1))
+    ends = np.searchsorted(comm[order_c], np.arange(comm.max() + 1), "right")
+    cs, ce = starts[comm[src]], ends[comm[src]]
+    dst_in = order_c[cs + (rng.rand(n * avg_deg) * (ce - cs)).astype(np.int64)]
+    dst = np.where(same, dst_in, dst)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    perm = community_order(src, dst, n, window=window)
+    rs, cs2 = perm[src], perm[dst]
+    order2 = np.lexsort((cs2, rs))
+    rs, cs2 = rs[order2], cs2[order2]
+    ew = len(rs)
+    gw0 = Graph.from_edges(rs, cs2, n)
+    g_win = attach_windows(gw0, window=window)
+    g_win_tiled = dataclasses.replace(attach_tiles(gw0), strategy="tiled")
+    in_frac = g_win.windows.in_window_edges / ew
+    fs_win = make_fstate(g_win, x, train=False)
+    fs_win_tiled = make_fstate(g_win_tiled, x, train=False)
+    t_win = bench_chained(rhs_step(f_lap), x, fs_win, p_lap)
+    t_win_tiled = bench_chained(rhs_step(f_lap), x, fs_win_tiled, p_lap)
+
     # ---- Cora scale (dense strategy) ------------------------------------
     nc, dc = 2485, 80
     rc, cc = build_sorted_edges(nc, 4, seed=2)
@@ -167,6 +202,14 @@ def main():
             "spmm_rhs_ms_xla_baseline": round(t_lap_base * 1e3, 2),
             "spmm_edges_per_s": round(e / t_lap, 1),
             "spmm_vs_baseline": round(t_lap_base / t_lap, 2),
+        },
+        "arxiv_scale_clustered_windowed": {
+            "n_nodes": n, "n_edges": ew,
+            "in_window_frac": round(in_frac, 3),
+            "spmm_rhs_ms": round(t_win * 1e3, 2),
+            "spmm_rhs_ms_tiled": round(t_win_tiled * 1e3, 2),
+            "spmm_edges_per_s": round(ew / t_win, 1),
+            "windowed_vs_tiled": round(t_win_tiled / t_win, 2),
         },
         "cora_scale_dense": {
             "n_nodes": nc, "n_edges": ec,

@@ -63,8 +63,14 @@ def make_fstate(graph, x, attention=None, y=None,
         dense_adj = densify(graph, values)
     else:
         from graphax.kernels.pallas_tiled import blocked_values, pallas_tiled_ok
+        from graphax.kernels.pallas_windows import pallas_windowed_ok
+        from graphax.kernels.windows import blocked_window_values
 
-        if pallas_tiled_ok(graph, x):
+        if pallas_windowed_ok(graph, x):
+            values = graph.edge_weight if attention is None else attention
+            wb = blocked_window_values(values, graph.windows)
+            wb_t = blocked_window_values(values, graph.windows_t)
+        elif pallas_tiled_ok(graph, x):
             values = graph.edge_weight if attention is None else attention
             wb = blocked_values(values, graph.tiles)
             wb_t = blocked_values(values, graph.tiles_t)

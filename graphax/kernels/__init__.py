@@ -23,11 +23,15 @@ from graphax.kernels.segment_mxu import (
     tiled_segment_sum, tiled_segment_max, tiled_segment_softmax, tiled_spmm,
 )
 from graphax.kernels.dispatch import (
-    spmm_auto, segment_softmax_auto, attention_spmm_auto,
+    attach_windows, spmm_auto, segment_softmax_auto, attention_spmm_auto,
+)
+from graphax.kernels.windows import (
+    WindowTiles, build_window_tiles, community_order,
 )
 
 __all__ = [
     "RowTiles", "build_row_tiles", "tiled_segment_sum", "tiled_segment_max",
     "tiled_segment_softmax", "tiled_spmm", "spmm_auto",
-    "segment_softmax_auto", "attention_spmm_auto",
+    "segment_softmax_auto", "attention_spmm_auto", "attach_windows",
+    "WindowTiles", "build_window_tiles", "community_order",
 ]
