@@ -135,7 +135,8 @@ def main():
     # ---- arxiv scale, community-structured (windowed strategy) ----------
     # Real benchmark graphs have community structure; after community_order
     # reordering the windowed strategy replaces the granule-bound random
-    # gather with MXU window expansion (graphax.kernels.windows).
+    # gather with precomputed block-dense operators: in-window edges become
+    # one batched MXU matmul per RHS evaluation (graphax.kernels.windows).
     from graphax.kernels.dispatch import attach_windows
     from graphax.kernels.windows import community_order
 
@@ -166,6 +167,22 @@ def main():
     fs_win_tiled = make_fstate(g_win_tiled, x, train=False)
     t_win = bench_chained(rhs_step(f_lap), x, fs_win, p_lap)
     t_win_tiled = bench_chained(rhs_step(f_lap), x, fs_win_tiled, p_lap)
+
+    # once-per-forward densify cost (amortized over the solve's NFEs)
+    import jax as _jax
+    from graphax.kernels.pallas_windows import densify_windows
+    from graphax.kernels.windows import blocked_window_values
+
+    @_jax.jit
+    def _densify(values):
+        win, _, _ = blocked_window_values(values, g_win.windows)
+        return jnp.sum(densify_windows(win.astype(dtype), g_win.windows)
+                       .astype(jnp.float32))
+
+    rtt = _round_trip()
+    float(_densify(g_win.edge_weight))
+    t_densify = max(min(_time_fetch(_densify, g_win.edge_weight)
+                        for _ in range(3)) - rtt, 1e-9)
 
     # ---- Cora scale (dense strategy) ------------------------------------
     nc, dc = 2485, 80
@@ -208,6 +225,7 @@ def main():
             "in_window_frac": round(in_frac, 3),
             "spmm_rhs_ms": round(t_win * 1e3, 2),
             "spmm_rhs_ms_tiled": round(t_win_tiled * 1e3, 2),
+            "densify_once_ms": round(t_densify * 1e3, 2),
             "spmm_edges_per_s": round(ew / t_win, 1),
             "windowed_vs_tiled": round(t_win_tiled / t_win, 2),
         },

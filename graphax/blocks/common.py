@@ -63,13 +63,21 @@ def make_fstate(graph, x, attention=None, y=None,
         dense_adj = densify(graph, values)
     else:
         from graphax.kernels.pallas_tiled import blocked_values, pallas_tiled_ok
-        from graphax.kernels.pallas_windows import pallas_windowed_ok
+        from graphax.kernels.pallas_windows import (
+            densify_windows, pallas_windowed_ok,
+        )
         from graphax.kernels.windows import blocked_window_values
 
         if pallas_windowed_ok(graph, x):
+            # hoist the expensive part of the windowed SpMM out of the
+            # solve: dense per-tile operator blocks built ONCE here, so
+            # every solver evaluation is a pure batched MXU matmul
             values = graph.edge_weight if attention is None else attention
-            wb = blocked_window_values(values, graph.windows)
-            wb_t = blocked_window_values(values, graph.windows_t)
+            win, res, res_t = blocked_window_values(values, graph.windows)
+            # dense blocks in the state dtype: one rounding here instead of
+            # a [T, tile, W] cast at every solver evaluation
+            wb = (densify_windows(win.astype(x.dtype), graph.windows), res)
+            wb_t = res_t
         elif pallas_tiled_ok(graph, x):
             values = graph.edge_weight if attention is None else attention
             wb = blocked_values(values, graph.tiles)

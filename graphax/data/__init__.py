@@ -17,10 +17,12 @@ from graphax.data.synthetic import make_sbm_dataset, make_synthetic_cora
 from graphax.data.grids import grid_edge_index, chain_edge_index
 from graphax.data.gdc import gdc_diffusion, exact_ppr_matrix, heat_kernel_matrix
 from graphax.data.loaders import get_dataset
+from graphax.data.reorder import community_reorder
 
 __all__ = [
     "GraphData", "set_train_val_test_split", "planetoid_split_masks",
     "largest_connected_component", "make_sbm_dataset", "make_synthetic_cora",
     "grid_edge_index", "chain_edge_index", "gdc_diffusion",
     "exact_ppr_matrix", "heat_kernel_matrix", "get_dataset",
+    "community_reorder",
 ]

@@ -83,6 +83,12 @@ def run(cfg: Config, data_dir: str = "./data", log_every: int = 10,
             from graphax.rewiring import apply_gdc_rewiring
 
             data = apply_gdc_rewiring(data, cfg)
+        if cfg.community_window:
+            # after rewiring, so the windowed layout matches the final
+            # topology (runtime rewiring drops back to the tiled path)
+            from graphax.data import community_reorder
+
+            data = community_reorder(data, window=cfg.community_window)
 
         trainer = Trainer(cfg, data)
         out = trainer.fit(log_every=log_every, seed=split)

@@ -37,12 +37,12 @@ def make_laplacian(cfg, in_dim: int) -> DiffusionFunction:
                             preferred_element_type=jnp.float32) \
                 .astype(x.dtype)
         elif fstate.wb is not None and g.strategy == "windowed":
-            # Pallas windowed path: MXU window expansion for in-window
-            # edges + gather residual (graphax.kernels.pallas_windows)
+            # windowed path: batched matmul against precomputed dense
+            # per-tile blocks + gather residual (kernels.pallas_windows)
             from graphax.kernels.pallas_windows import spmm_windowed
 
-            ax = spmm_windowed(fstate.wb, fstate.wb_t, x, g.windows,
-                               g.windows_t)
+            ax = spmm_windowed(fstate.wb[0], fstate.wb[1], fstate.wb_t,
+                               x, g.windows)
         elif fstate.wb is not None:
             # Pallas tiled path: fused gather-scale-reduce kernel with a
             # custom vjp (transpose-SpMM + SDDMM kernels)

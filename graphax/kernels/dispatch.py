@@ -56,8 +56,8 @@ def attach_tiles(graph, tile: int = 128, block_edges: int = None,
 
 def attach_windows(graph, window: int = 512, tile: int = 128,
                    block_edges: int = 2048):
-    """Return a copy of ``graph`` carrying the windowed (cluster-dense)
-    layout pair plus the row-tiled layouts (host-side preprocessing; edge
+    """Return a copy of ``graph`` carrying the windowed (block-dense)
+    layout plus the row-tiled layouts (host-side preprocessing; edge
     buffers must be sorted by row, node ids ideally community-ordered —
     see ``graphax.kernels.windows.community_order``).
 
@@ -75,22 +75,7 @@ def attach_windows(graph, window: int = 512, tile: int = 128,
     col = np.asarray(graph.col)[:e]
     wt = build_window_tiles(row, col, graph.num_nodes, tile=tile,
                             window=window, block_edges=block_edges)
-    order = np.lexsort((row, col)).astype(np.int64)
-    wt_t = build_window_tiles(col[order], row[order], graph.num_nodes,
-                              tile=tile, window=window,
-                              block_edges=block_edges)
-    # remap both transpose tables from col-sorted order to original edge ids
-    def _remap(tbl):
-        remapped = order[np.asarray(tbl.edge_slot)]
-        return jnp.asarray(np.where(np.asarray(tbl.slot_mask), remapped, 0)
-                           .astype(jnp.int32))
-
-    wt_t = dataclasses.replace(
-        wt_t, edge_slot=_remap(wt_t),
-        residual=dataclasses.replace(wt_t.residual,
-                                     edge_slot=_remap(wt_t.residual)))
-    return dataclasses.replace(g, windows=wt, windows_t=wt_t,
-                               strategy="windowed")
+    return dataclasses.replace(g, windows=wt, strategy="windowed")
 
 
 def spmm_auto(graph, edge_values, x):

@@ -47,7 +47,9 @@ class WindowTiles:
     local_row: jax.Array   # [Bw, Eb] int32 in [0, tile]; == tile on pads
     tile_idx: jax.Array    # [Bw] int32 — output tile of each block
     win_id: jax.Array      # [Bw] int32 — aligned window index of each block
+    tile_win: jax.Array    # [T] int32 — best aligned window of each row tile
     residual: RowTiles     # gather-path layout for out-of-window edges
+    residual_t: RowTiles   # transpose layout of the SAME residual subset
     window: int = dataclasses.field(metadata=dict(static=True))
     num_windows: int = dataclasses.field(metadata=dict(static=True))
     num_tiles: int = dataclasses.field(metadata=dict(static=True))
@@ -144,34 +146,49 @@ def build_window_tiles(row, col, num_nodes: int, num_edges: int = None,
         tile_idx[i] = ti
         win_id[i] = best_win[ti]
 
-    # ---- residual edges: plain gather layout, slots remapped -------------
-    r_res, c_res = row[idx_res], col[idx_res]
-    res = build_row_tiles(r_res, c_res, num_nodes, tile=tile,
-                          block_edges=block_edges)
-    res_mask = np.asarray(res.slot_mask)
-    if idx_res.size:
-        remapped = idx_res[np.asarray(res.edge_slot)]
-    else:
-        remapped = np.zeros(np.asarray(res.edge_slot).shape, np.int64)
+    # ---- residual edges: plain gather layout pair, slots remapped --------
+    # (forward + transpose of the SAME subset, so the per-NFE residual SpMM
+    # can ride the existing custom-vjp `pallas_tiled.spmm_pallas`)
     import jax.numpy as jnp
 
-    res = dataclasses.replace(
-        res, edge_slot=jnp.asarray(
-            np.where(res_mask, remapped, 0).astype(np.int32)))
+    def _residual_layout(r, c, subset_ids):
+        # auto-size the residual blocks: the residual subset is ~3-4x
+        # sparser per tile than the full graph, so inheriting the in-window
+        # block size would pad (and gather) ~4x more slots than needed
+        lt = build_row_tiles(r, c, num_nodes, tile=tile, block_edges=None)
+        m = np.asarray(lt.slot_mask)
+        if subset_ids.size:
+            remapped = subset_ids[np.asarray(lt.edge_slot)]
+        else:
+            remapped = np.zeros(np.asarray(lt.edge_slot).shape, np.int64)
+        return dataclasses.replace(
+            lt, edge_slot=jnp.asarray(
+                np.where(m, remapped, 0).astype(np.int32)))
+
+    r_res, c_res = row[idx_res], col[idx_res]
+    res = _residual_layout(r_res, c_res, idx_res)
+    ot = np.lexsort((r_res, c_res))
+    res_t = _residual_layout(c_res[ot], r_res[ot], idx_res[ot])
 
     return WindowTiles(
         edge_slot=jnp.asarray(edge_slot), slot_mask=jnp.asarray(slot_mask),
         lcol=jnp.asarray(lcol), local_row=jnp.asarray(local_row),
         tile_idx=jnp.asarray(tile_idx), win_id=jnp.asarray(win_id),
-        residual=res, window=window, num_windows=num_windows, num_tiles=t,
+        tile_win=jnp.asarray(best_win.astype(np.int32)),
+        residual=res, residual_t=res_t, window=window,
+        num_windows=num_windows, num_tiles=t,
         tile=tile, block_edges=block_edges, num_nodes=int(num_nodes))
 
 
 def blocked_window_values(edge_values, wt: WindowTiles):
-    """[E] edge values → ([Bw, Eb] in-window, [Br, Eb] residual) blocks."""
+    """[E] edge values → (in-window [Bw, Eb], residual [Br, Eb],
+    residual-transpose [Bt, Eb]) blocks — three views of one vector, so
+    autodiff sums their cotangents back into the [E] array."""
     import jax.numpy as jnp
 
     win = jnp.where(wt.slot_mask, edge_values[wt.edge_slot], 0)
     res = jnp.where(wt.residual.slot_mask,
                     edge_values[wt.residual.edge_slot], 0)
-    return win, res
+    res_t = jnp.where(wt.residual_t.slot_mask,
+                      edge_values[wt.residual_t.edge_slot], 0)
+    return win, res, res_t

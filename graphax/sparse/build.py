@@ -153,6 +153,12 @@ def build_graph(row, col, num_nodes: int, edge_weight=None,
                          edge_buffer_size=cap)
     if strategy == "auto":
         strategy = "dense" if num_nodes <= dense_threshold else "tiled"
+    if strategy == "windowed":
+        # block-dense layout — node ids should be community-ordered first
+        # (graphax.data.community_reorder does both in one step)
+        from graphax.kernels.dispatch import attach_windows
+
+        return attach_windows(g)
     if strategy == "tiled" or tiles:
         from graphax.kernels.dispatch import attach_tiles
 

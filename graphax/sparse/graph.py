@@ -58,17 +58,16 @@ class Graph:
     # (graphax.kernels.pallas_tiled). Its edge_slot indexes the ORIGINAL
     # edge buffers, so one [E] value vector serves both layouts.
     tiles_t: Optional[object] = None
-    # optional windowed (cluster-dense) layout pair (graphax.kernels.windows
-    # WindowTiles) for community-ordered graphs: in-window edges ride MXU
-    # one-hot expansion against a sequential window slab instead of the
-    # granule-bound random row gather; `windows_t` is the transpose layout
-    # for dx = Aᵀg (both attached by kernels.dispatch.attach_windows)
+    # optional windowed (block-dense) layout (graphax.kernels.windows
+    # WindowTiles) for community-ordered graphs: in-window edges become
+    # dense [tile, window] operator blocks (built once per forward) so the
+    # SpMM is a pure batched MXU matmul instead of the granule-bound random
+    # row gather (attached by kernels.dispatch.attach_windows)
     windows: Optional[object] = None
-    windows_t: Optional[object] = None
     # compute strategy: 'edge' (XLA segment ops), 'tiled' (MXU one-hot
     # reductions over row tiles), 'dense' (materialized [N,N] operator —
     # fastest for N ≲ 20k; see graphax.kernels.dense_path), 'windowed'
-    # (cluster-dense window expansion + gather residual)
+    # (block-dense in-window blocks + gather residual)
     strategy: str = dataclasses.field(default="edge",
                                       metadata=dict(static=True))
 

@@ -143,6 +143,11 @@ class Config:
     seed: int = 12345
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("graph",)
+    # >0: community-reorder node ids with this window size and route the
+    # laplacian SpMM through the block-dense windowed strategy
+    # (graphax.data.community_reorder) — for large community-structured
+    # graphs on TPU
+    community_window: int = 0
 
     # ------------------------------------------------------------------
 
