@@ -167,6 +167,10 @@ def main():
     fs_win_tiled = make_fstate(g_win_tiled, x, train=False)
     t_win = bench_chained(rhs_step(f_lap), x, fs_win, p_lap)
     t_win_tiled = bench_chained(rhs_step(f_lap), x, fs_win_tiled, p_lap)
+    # per-NFE attention recompute (GRAND-nl) through the block-dense
+    # windowed scores + aggregation (kernels.windowed_attention)
+    t_att_win = bench_chained(rhs_step(f_att), x, fs_win, p_att)
+    t_att_win_tiled = bench_chained(rhs_step(f_att), x, fs_win_tiled, p_att)
 
     # once-per-forward densify cost (amortized over the solve's NFEs)
     import jax as _jax
@@ -228,6 +232,11 @@ def main():
             "densify_once_ms": round(t_densify * 1e3, 2),
             "spmm_edges_per_s": round(ew / t_win, 1),
             "windowed_vs_tiled": round(t_win_tiled / t_win, 2),
+            "attention_rhs_ms": round(t_att_win * 1e3, 2),
+            "attention_rhs_ms_tiled": round(t_att_win_tiled * 1e3, 2),
+            "attention_edges_per_s": round(ew / t_att_win, 1),
+            "attention_windowed_vs_tiled": round(t_att_win_tiled
+                                                 / t_att_win, 2),
         },
         "cora_scale_dense": {
             "n_nodes": nc, "n_edges": ec,

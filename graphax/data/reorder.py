@@ -28,7 +28,8 @@ from graphax.sparse.graph import Graph
 
 
 def community_reorder(data: GraphData, window: int = 512, tile: int = 128,
-                      block_edges: int = 2048) -> GraphData:
+                      block_edges: int = 2048,
+                      min_in_window_frac: float = 0.0) -> GraphData:
     """Return ``data`` with community-contiguous node ids and a windowed
     (block-dense) graph layout attached (``graph.strategy == 'windowed'``).
 
@@ -39,12 +40,18 @@ def community_reorder(data: GraphData, window: int = 512, tile: int = 128,
         the partitioner. Must be a multiple of ``tile``.
       tile: output row-tile height of the blocked layouts.
       block_edges: edge slots per in-window block.
+      min_in_window_frac: if, after reordering, fewer than this fraction of
+        edges land in-window (graph has no community structure — the
+        windowed strategy would mostly pay its residual gather path plus
+        block overhead), keep the reordered ids but attach the row-tiled
+        layout instead.
     """
     import jax.numpy as jnp
 
-    from graphax.kernels.dispatch import attach_windows
+    from graphax.kernels.dispatch import attach_tiles, attach_windows
     from graphax.kernels.windows import community_order
 
+    tile = min(tile, window)  # layout requires tile | window
     g = data.graph
     n = g.num_nodes
     e = int(g.num_edges)
@@ -59,6 +66,14 @@ def community_reorder(data: GraphData, window: int = 512, tile: int = 128,
                                  edge_buffer_size=g.edge_buffer_size)
     new_graph = attach_windows(new_graph, window=window, tile=tile,
                                block_edges=block_edges)
+    if (min_in_window_frac > 0 and e > 0
+            and new_graph.windows.in_window_edges / e < min_in_window_frac):
+        new_graph = dataclasses.replace(
+            attach_tiles(Graph.from_edges(r2[order], c2[order], n,
+                                          weight[order],
+                                          edge_buffer_size=g.edge_buffer_size),
+                         tile=tile),
+            strategy="tiled")
 
     inv = np.argsort(perm)  # inv[new_id] = old_id
 

@@ -213,6 +213,19 @@ def dense_rhs_ax(params, cfg, graph, x, y=None):
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def _windowed_att_ok(cfg, fstate, x) -> bool:
+    """Route the per-NFE attention RHS through the block-dense windowed
+    layout (community-ordered graphs; graphax.kernels.windowed_attention)."""
+    from graphax.kernels.pallas_windows import pallas_windowed_ok
+    from graphax.kernels.windowed_attention import windowed_att_applicable
+
+    g = fstate.graph
+    ok = (windowed_att_applicable(cfg, g) and pallas_windowed_ok(g, x))
+    if cfg.reweight_attention and fstate.wb is None:
+        return False  # dense cells could not be reweighted consistently
+    return ok
+
+
 def make_transformer(cfg, in_dim: int) -> DiffusionFunction:
     def init(key):
         k1, k2 = jax.random.split(key)
@@ -234,6 +247,21 @@ def make_transformer(cfg, in_dim: int) -> DiffusionFunction:
         if (use_dense_attention(g, cfg.heads)
                 and not (cfg.beltrami and cfg.attention_type == "exp_kernel")):
             ax = dense_rhs_ax(params["att"], cfg, g, x, fstate.y)
+        elif _windowed_att_ok(cfg, fstate, x):
+            from graphax.kernels.pallas_winatt import (
+                pallas_winatt_ok, windowed_attention_ax_pallas,
+            )
+            from graphax.kernels.windowed_attention import \
+                windowed_attention_ax
+
+            dense_w = fstate.wb[0] if (cfg.reweight_attention
+                                       and fstate.wb is not None) else None
+            if pallas_winatt_ok(cfg, g, x):
+                ax = windowed_attention_ax_pallas(cfg, params["att"], g, x,
+                                                  dense_weight=dense_w)
+            else:
+                ax = windowed_attention_ax(cfg, params["att"], g, x,
+                                           dense_weight=dense_w)
         elif (fstate.fast_attention and g.tiles is not None
                 and fused_path_applicable(cfg)):
             from graphax.kernels.pallas_attention import \

@@ -132,7 +132,11 @@ def fused_attention_ax(cfg, att_params, tiles: RowTiles, x, edge_weight=None):
     e = jnp.where(mask, e, 0.0).astype(dt)              # [B, Eb, H]
 
     denom = _reduce_rows(oh, e, tiles)                  # [N, H] f32
-    denom_b = _broadcast_rows(oh, (denom + EPS).astype(dt), tiles)
+    # the reference's +1e-16 (`src/utils.py:127`) is negligible under its
+    # per-segment shift; under the global shift used here it would be a
+    # material perturbation for rows far below the global max, so rely on
+    # the zero-select guard below instead
+    denom_b = _broadcast_rows(oh, denom.astype(dt), tiles)
     # padded slots have an all-zero one-hot row → denom_b == 0; guard the
     # 0/0 (and its NaN gradient) explicitly
     denom_safe = jnp.where(denom_b > 0, denom_b, 1.0)

@@ -236,7 +236,10 @@ def _attspmm_kernel(tidx_ref, first_ref, e_ref, denom_ref, xg_ref, lrow_ref,
     denom_e = jax.lax.dot_general(
         denom_ref[0], oh, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # [H, Eb]
-    a = e_ref[0] / (denom_e + EPS)
+    # zero-select, not +EPS: under the global max shift a row far below the
+    # global max has a tiny-but-correct denominator that a fixed epsilon
+    # would swamp (padded slots have denom_e == 0 via the all-zero one-hot)
+    a = e_ref[0] / jnp.where(denom_e > 0, denom_e, 1.0)
     w = jnp.where(mask_e, jnp.mean(a, axis=0), 0.0)        # [Eb]
     vals = xg_ref[0] * w[:, None].astype(xg_ref.dtype)
     partial = jax.lax.dot_general(

@@ -75,7 +75,13 @@ def tiled_segment_softmax(scores, row, tiles: RowTiles, mask=None,
     head. Segments whose scores sit far below the global max could underflow
     to uniform-zero in principle; attention scores are bounded (dot products
     of bounded projections), so in practice this matches the reference to
-    float rounding — pinned by the kernel parity tests. ``scores [E, H]``."""
+    float rounding — pinned by the kernel parity tests. ``scores [E, H]``.
+
+    The reference's +1e-16 denominator is negligible under its per-segment
+    shift; under the global shift a segment k below the max has a
+    tiny-but-correct sum ~exp(-k) that a fixed epsilon would swamp, so
+    zero-select guards the division instead."""
+    del eps  # kept for signature compatibility
     if mask is not None:
         scores = jnp.where(mask[:, None], scores, NEG)
     gmax = jnp.max(scores)
@@ -84,7 +90,7 @@ def tiled_segment_softmax(scores, row, tiles: RowTiles, mask=None,
     if mask is not None:
         e = jnp.where(mask[:, None], e, 0.0)
     denom = tiled_segment_sum(e, tiles)[row]
-    return e / (denom + eps)
+    return e / jnp.where(denom > 0, denom, 1.0)
 
 
 def tiled_spmm(edge_weight, x, tiles: RowTiles):

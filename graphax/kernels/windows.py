@@ -48,6 +48,7 @@ class WindowTiles:
     tile_idx: jax.Array    # [Bw] int32 — output tile of each block
     win_id: jax.Array      # [Bw] int32 — aligned window index of each block
     tile_win: jax.Array    # [T] int32 — best aligned window of each row tile
+    dense_mask: jax.Array  # [T, tile, W] bool — cell holds a real edge
     residual: RowTiles     # gather-path layout for out-of-window edges
     residual_t: RowTiles   # transpose layout of the SAME residual subset
     window: int = dataclasses.field(metadata=dict(static=True))
@@ -170,11 +171,18 @@ def build_window_tiles(row, col, num_nodes: int, num_edges: int = None,
     ot = np.lexsort((r_res, c_res))
     res_t = _residual_layout(c_res[ot], r_res[ot], idx_res[ot])
 
+    # static cell-occupancy mask of the in-window dense blocks (edges are
+    # coalesced, so cells are unique) — serves the windowed attention path
+    # (score masking before softmax) at zero per-forward cost
+    dense_mask = np.zeros((t, tile, window), bool)
+    dense_mask[t_in, r_in - t_in * tile, c_in - best_win[t_in] * window] = True
+
     return WindowTiles(
         edge_slot=jnp.asarray(edge_slot), slot_mask=jnp.asarray(slot_mask),
         lcol=jnp.asarray(lcol), local_row=jnp.asarray(local_row),
         tile_idx=jnp.asarray(tile_idx), win_id=jnp.asarray(win_id),
         tile_win=jnp.asarray(best_win.astype(np.int32)),
+        dense_mask=jnp.asarray(dense_mask),
         residual=res, residual_t=res_t, window=window,
         num_windows=num_windows, num_tiles=t,
         tile=tile, block_edges=block_edges, num_nodes=int(num_nodes))

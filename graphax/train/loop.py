@@ -80,6 +80,15 @@ class Trainer:
 
     def __init__(self, cfg, data: GraphData, jit: bool = True):
         self.cfg = cfg
+        if cfg.community_window and data.graph.strategy != "windowed":
+            # route the solve through the block-dense windowed layout on
+            # community-ordered node ids (graphax.data.community_reorder);
+            # falls back to the tiled layout on graphs without community
+            # structure (in-window fraction too low to beat the gather path)
+            from graphax.data import community_reorder
+
+            data = community_reorder(data, window=cfg.community_window,
+                                     min_in_window_frac=0.35)
         self.data = data
         # model selection mirrors `run_GNN.py:232-235`: the KNN-rewiring /
         # fa-layer variant when those flags are set, plain GNN otherwise

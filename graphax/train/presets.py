@@ -107,6 +107,10 @@ BEST_PARAMS = {
         # halves the gather-bound solver HBM traffic at 169k nodes; encoder/
         # decoder/accumulations stay f32
         dtype="bfloat16",
+        # TPU addition: community-reorder node ids and use the block-dense
+        # windowed SpMM strategy (graphax.kernels.windows) — arxiv is
+        # community-structured, so most edges become MXU matmul blocks
+        community_window=512,
     ),
 }
 

@@ -39,7 +39,7 @@ def run_all(epochs_small=10, epochs_large=3, datasets=None, out_path=None):
             rows.append(dict(
                 dataset=name, block=cfg.block, method=cfg.method,
                 adjoint=cfg.adjoint, adjoint_method=cfg.adjoint_method,
-                strategy=data.graph.strategy, epochs=epochs,
+                strategy=trainer.data.graph.strategy, epochs=epochs,
                 best_val=round(out["best"]["val_acc"], 4),
                 best_test=round(out["best"]["test_acc"], 4),
                 mean_nfe=round(float(np.mean(

@@ -195,6 +195,18 @@ def test_community_reorder_preserves_dataset():
             np.asarray(base.x)[np.asarray(base.y) == c].mean(), rtol=1e-5)
 
 
+def test_community_reorder_falls_back_without_structure():
+    # a structureless graph keeps the reordered ids but gets the row-tiled
+    # layout — the windowed strategy would mostly pay its residual path
+    from graphax.data import community_reorder, make_sbm_dataset
+
+    d = make_sbm_dataset(num_nodes=256, num_classes=4, p_in=0.05,
+                         p_out=0.05, num_per_class=5, seed=1)
+    out = community_reorder(d, window=16, tile=8, block_edges=16,
+                            min_in_window_frac=0.35)
+    assert out.graph.strategy == "tiled" and out.graph.tiles is not None
+
+
 def test_laplacian_rhs_routes_through_windowed():
     from graphax import Config
     from graphax.blocks.common import make_fstate, normalize_graph
