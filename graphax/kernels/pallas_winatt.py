@@ -32,9 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from graphax.kernels.fused_attention import (
-    NEG, _broadcast_rows, _onehot, _reduce_rows,
-)
+from graphax.kernels.fused_attention import NEG
 from graphax.kernels.pallas_tiled import _f0, _interpret
 from graphax.kernels.windows import WindowTiles
 from graphax.utils.params import linear_apply
@@ -157,15 +155,19 @@ def _slab_pad(z, num_windows: int, window: int):
 @functools.lru_cache(maxsize=None)
 def _make_winatt(cfg, num_tiles, tile, window, num_windows, block_edges,
                  num_nodes):
-    from graphax.kernels.windowed_attention import (
-        _residual_scores, windowed_attention_ax,
-    )
+    from graphax.kernels.windowed_attention import windowed_attention_ax
 
     heads = cfg.heads
     d_k = cfg.attention_dim // heads
 
     def _forward(att_params, x, edge_weight, dense_w, wt):
+        from graphax.kernels.pallas_attention import (
+            _attspmm_call, _norm_call, _scores_call,
+        )
+        from graphax.kernels.pallas_tiled import presence_scale
+
         dt = x.dtype
+        res = wt.residual
         q = linear_apply(att_params["Q"], x).astype(dt)    # [N, att]
         k = linear_apply(att_params["K"], x).astype(dt)
         pad_rows = num_tiles * tile - num_nodes
@@ -174,24 +176,50 @@ def _make_winatt(cfg, num_tiles, tile, window, num_windows, block_edges,
         k_slab = _slab_pad(k, num_windows, window)
         x_slab = _slab_pad(x, num_windows, window)
 
-        # residual path (XLA block layout), r0-frame exponentials
-        s_res, oh, xg = _residual_scores(cfg, att_params, wt.residual, x,
-                                         q, edge_weight)
-        r0 = jnp.max(s_res)
-        r0 = jnp.where(r0 <= NEG / 2, 0.0, r0)
-        e_res = jnp.where(wt.residual.slot_mask[..., None],
-                          jnp.exp(s_res - r0), 0.0).astype(dt)
-        d_res = _reduce_rows(oh, e_res, wt.residual)       # [N, H] f32
-        d_res_t = jnp.pad(d_res, ((0, pad_rows), (0, 0))) \
-            .reshape(num_tiles, tile, heads).transpose(0, 2, 1)
-
+        # ---- residual path: the streaming block-layout kernels ----------
+        # (`kernels.pallas_attention`), sharing ONE x[col] gather
+        if cfg.attention_type == "scaled_dot":
+            q_s = q / jnp.sqrt(jnp.asarray(d_k, jnp.float32)).astype(dt)
+            q_s_tiles = jnp.pad(q_s, ((0, pad_rows), (0, 0))) \
+                .reshape(num_tiles, tile, -1)
+        else:
+            q_s_tiles = q_tiles
+        xg = x[res.col]                                    # [B, Eb, D]
+        wk = att_params["K"]["w"].astype(dt)
+        bk = att_params["K"]["b"].astype(jnp.float32)[None, :]
+        if cfg.reweight_attention:
+            wb = jnp.where(res.slot_mask, edge_weight[res.edge_slot], 0) \
+                .astype(jnp.float32)
+        else:
+            wb = jnp.zeros(res.edge_slot.shape, jnp.float32)
         if cfg.attention_type == "exp_kernel":
             if "_ov2" in att_params:
                 ov2, inv2l2 = att_params["_ov2"], att_params["_inv2l2"]
             else:
                 ov2 = att_params["output_var"] ** 2
                 inv2l2 = 1.0 / (2.0 * att_params["lengthscale"] ** 2)
-            scal = jnp.stack([ov2, inv2l2, r0, jnp.zeros_like(r0)])
+            scal2 = jnp.stack([ov2, inv2l2]).reshape(1, 2) \
+                .astype(jnp.float32)
+        else:
+            scal2 = jnp.zeros((1, 2), jnp.float32)
+
+        present = presence_scale(res.tile_idx, num_tiles) > 0
+        s_res, rmax = _scores_call(
+            cfg.attention_type, bool(cfg.reweight_attention), heads,
+            q_s_tiles, xg, wk, bk, wb, res.local_row, res.tile_idx, scal2,
+            num_tiles, tile)                               # [B,H,Eb],[T,H,R]
+        rmax = jnp.where(present[:, None, None], rmax, NEG)
+        r0 = jnp.max(rmax)
+        r0 = jnp.where(r0 <= NEG / 2, 0.0, r0)
+        shift_r0 = jnp.full((num_tiles, heads, tile), r0, jnp.float32)
+        e_res, d_res = _norm_call(False, s_res, shift_r0, res.local_row,
+                                  res.tile_idx, num_tiles, tile)
+        d_res = jnp.where(present[:, None, None], d_res, 0.0)
+
+        # ---- dense in-window part: fused kernel --------------------------
+        if cfg.attention_type == "exp_kernel":
+            scal = jnp.stack([scal2[0, 0], scal2[0, 1], r0,
+                              jnp.zeros_like(r0)])
         else:
             z = jnp.zeros_like(r0)
             scal = jnp.stack([z, z, r0, z])
@@ -199,19 +227,15 @@ def _make_winatt(cfg, num_tiles, tile, window, num_windows, block_edges,
 
         out_win, denom_hr = _winatt_call(
             cfg.attention_type, bool(cfg.reweight_attention), heads, d_k,
-            q_tiles, k_slab, x_slab, wt.dense_mask, d_res_t, scal,
+            q_tiles, k_slab, x_slab, wt.dense_mask, d_res, scal,
             wt.tile_win, dense_w)
         out_win = out_win.reshape(num_tiles * tile, -1)[:num_nodes]
 
-        # residual aggregation against the combined r0-frame denominators
-        denom = denom_hr.transpose(0, 2, 1) \
-            .reshape(num_tiles * tile, heads)[:num_nodes]  # [N, H]
-        denom_b = _broadcast_rows(oh, denom.astype(dt), wt.residual)
-        denom_safe = jnp.where(denom_b > 0, denom_b, 1.0)
-        w_res = jnp.where(wt.residual.slot_mask,
-                          (e_res / denom_safe).mean(axis=-1), 0.0)
-        vb = xg * w_res[..., None]
-        out_res = _reduce_rows(oh, vb, wt.residual)        # [N, D] f32
+        # ---- residual aggregation vs the combined r0-frame denominators -
+        out_res = _attspmm_call(e_res, denom_hr, xg, res.local_row,
+                                res.tile_idx, num_tiles, tile)
+        out_res = jnp.where(present[:, None, None], out_res, 0.0) \
+            .reshape(num_tiles * tile, -1)[:num_nodes]
         return (out_win + out_res).astype(dt)
 
     @jax.custom_vjp

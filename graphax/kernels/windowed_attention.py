@@ -161,11 +161,12 @@ def windowed_attention_ax(cfg, att_params, graph, x, dense_weight=None):
 
     s_res, oh, xg = _residual_scores(cfg, p, wt.residual, x, q,
                                      graph.edge_weight)
+    dmask = wt.dense_mask != 0
 
     def masked(s_h):
         if cfg.reweight_attention and dense_weight is not None:
             s_h = s_h * dense_weight.astype(s_h.dtype)
-        return jnp.where(wt.dense_mask, s_h, NEG)
+        return jnp.where(dmask, s_h, NEG)
 
     # Stability shift. Softmax is invariant to any per-row constant, so the
     # dense part of each row shifts by its own row max (free: the whole
@@ -218,7 +219,7 @@ def windowed_attention_ax(cfg, att_params, graph, x, dense_weight=None):
             scale = jnp.exp(jnp.clip(r0 - shift, -70.0, 70.0))
             inv_scale = jnp.exp(jnp.clip(shift - r0, -70.0, 70.0))
             shift = shift[:, :, None]
-        e_h = jnp.where(wt.dense_mask,
+        e_h = jnp.where(dmask,
                         _transform(s_h - shift, cfg.square_plus), 0.0)
         d_h = e_h.sum(axis=2) + d_res_t[:, :, h] * scale   # [T, R] f32
         pbar = pbar + e_h / jnp.where(d_h > 0, d_h, 1.0)[:, :, None]

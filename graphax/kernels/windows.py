@@ -48,7 +48,9 @@ class WindowTiles:
     tile_idx: jax.Array    # [Bw] int32 — output tile of each block
     win_id: jax.Array      # [Bw] int32 — aligned window index of each block
     tile_win: jax.Array    # [T] int32 — best aligned window of each row tile
-    dense_mask: jax.Array  # [T, tile, W] bool — cell holds a real edge
+    dense_mask: jax.Array  # [T, tile, W] int8 — 1 where the cell holds a
+    #                        real edge (int8, not bool: Mosaic loads i8
+    #                        blocks ~0.9 ms/NFE faster at arxiv scale)
     residual: RowTiles     # gather-path layout for out-of-window edges
     residual_t: RowTiles   # transpose layout of the SAME residual subset
     window: int = dataclasses.field(metadata=dict(static=True))
@@ -174,8 +176,8 @@ def build_window_tiles(row, col, num_nodes: int, num_edges: int = None,
     # static cell-occupancy mask of the in-window dense blocks (edges are
     # coalesced, so cells are unique) — serves the windowed attention path
     # (score masking before softmax) at zero per-forward cost
-    dense_mask = np.zeros((t, tile, window), bool)
-    dense_mask[t_in, r_in - t_in * tile, c_in - best_win[t_in] * window] = True
+    dense_mask = np.zeros((t, tile, window), np.int8)
+    dense_mask[t_in, r_in - t_in * tile, c_in - best_win[t_in] * window] = 1
 
     return WindowTiles(
         edge_slot=jnp.asarray(edge_slot), slot_mask=jnp.asarray(slot_mask),
