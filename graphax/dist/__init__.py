@@ -19,7 +19,8 @@ The reference's only parallelism is single-process `nn.DataParallel`
 from graphax.dist.mesh import make_mesh, local_mesh
 from graphax.dist.partition import EdgePartition, partition_graph
 from graphax.dist.sharded import (
-    sharded_spmm_allgather, sharded_spmm_halo, make_sharded_diffusion_step,
+    sharded_spmm_allgather, sharded_spmm_halo, sharded_spmm_windowed,
+    make_sharded_diffusion_step,
 )
 from graphax.dist.data_parallel import make_dp_train_step
 from graphax.dist.sharded_attention import (
@@ -30,7 +31,7 @@ from graphax.dist.train_step import make_sharded_grand_trainer
 
 __all__ = [
     "make_mesh", "local_mesh", "EdgePartition", "partition_graph",
-    "sharded_spmm_allgather", "sharded_spmm_halo",
+    "sharded_spmm_allgather", "sharded_spmm_halo", "sharded_spmm_windowed",
     "make_sharded_diffusion_step", "make_dp_train_step",
     "make_sharded_attention_rhs", "distributed_masked_quantile",
     "sharded_knn_candidates", "make_sharded_grand_trainer",
