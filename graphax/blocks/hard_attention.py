@@ -81,8 +81,14 @@ def make_hard_attention_block(cfg, in_dim: int) -> ODEBlock:
             if cfg.use_flux:
                 delta = jnp.linalg.norm(x[g.row] - x[g.col], axis=-1)
                 mean_att = mean_att * jax.lax.stop_gradient(delta)
-            thresh = masked_quantile(mean_att, g.edge_mask,
-                                     1.0 - cfg.att_samp_pct)
+            # histogram bisection, not a full-buffer sort: O(rounds·E)
+            # segment-sums instead of O(E log E) per training forward —
+            # matches masked_quantile (torch.quantile semantics) to bin
+            # resolution ≤ range/1024² (graphax.sparse.quantile)
+            from graphax.sparse.quantile import refined_masked_quantile
+
+            thresh = refined_masked_quantile(mean_att, g.edge_mask,
+                                             1.0 - cfg.att_samp_pct)
             keep = (mean_att > thresh) & g.edge_mask
             edge_vals = renormalise(g, mean_att, keep)
         else:

@@ -15,6 +15,8 @@ from graphax.ode.solvers import (
     Observer,
     odeint,
     odeint_adjoint,
+    last_adjoint_bwd_nfe,
+    reset_adjoint_bwd_nfe,
     FIXED_STEP_METHODS,
     ADAMS_METHODS,
     ADAPTIVE_METHODS,
@@ -25,6 +27,8 @@ __all__ = [
     "Observer",
     "odeint",
     "odeint_adjoint",
+    "last_adjoint_bwd_nfe",
+    "reset_adjoint_bwd_nfe",
     "FIXED_STEP_METHODS",
     "ADAMS_METHODS",
     "ADAPTIVE_METHODS",

@@ -66,6 +66,31 @@ def _rms_norm(x):
     return jnp.sqrt(jnp.mean(jnp.square(x)))
 
 
+# -- adjoint backward-NFE surfacing ------------------------------------
+# The reference logs forward and backward NFE separately as a tuning signal
+# (`src/graph_datasets/run_GNN.py:90-95`). A custom_vjp backward cannot add
+# outputs, so the adjoint solve reports its NFE through a host callback into
+# this module-level cell; Trainer reads it after the step's device_get.
+
+_ADJOINT_BWD_NFE = {"last": 0, "total": 0, "count": 0}
+
+
+def _record_adjoint_nfe(nfe):
+    n = int(nfe)
+    _ADJOINT_BWD_NFE["last"] = n
+    _ADJOINT_BWD_NFE["total"] += n
+    _ADJOINT_BWD_NFE["count"] += 1
+
+
+def last_adjoint_bwd_nfe() -> int:
+    """NFE of the most recent adjoint backward solve (0 if none ran)."""
+    return _ADJOINT_BWD_NFE["last"]
+
+
+def reset_adjoint_bwd_nfe():
+    _ADJOINT_BWD_NFE.update(last=0, total=0, count=0)
+
+
 def _rk_step(flat_func, tableau_name, t, y, h, f0=None):
     """One explicit RK step on flat state. Returns (y1, f1_or_None, err, nfe).
 
@@ -106,11 +131,11 @@ def _rk_step(flat_func, tableau_name, t, y, h, f0=None):
     return y1, f1, err, nfe
 
 
-def _error_ratio(err, y0, y1, rtol, atol):
+def _error_ratio(err, y0, y1, rtol, atol, norm_fn=_rms_norm):
     acc = jnp.promote_types(y0.dtype, jnp.float32)
     scale = atol + rtol * jnp.maximum(jnp.abs(y0.astype(acc)),
                                       jnp.abs(y1.astype(acc)))
-    return _rms_norm(err.astype(acc) / scale)
+    return norm_fn(err.astype(acc) / scale)
 
 
 def _optimal_step(h, ratio, order):
@@ -120,18 +145,19 @@ def _optimal_step(h, ratio, order):
     return h * factor
 
 
-def _initial_step(flat_func, t0, y0, f0, order, rtol, atol):
+def _initial_step(flat_func, t0, y0, f0, order, rtol, atol,
+                  norm_fn=_rms_norm):
     """Hairer/Wanner initial step selection (torchdiffeq `_select_initial_step`).
     Costs one extra RHS evaluation."""
     acc = jnp.promote_types(y0.dtype, jnp.float32)
     y0a, f0a = y0.astype(acc), f0.astype(acc)
     scale = atol + jnp.abs(y0a) * rtol
-    d0 = _rms_norm(y0a / scale)
-    d1 = _rms_norm(f0a / scale)
+    d0 = norm_fn(y0a / scale)
+    d1 = norm_fn(f0a / scale)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
     y1 = (y0a + h0 * f0a).astype(y0.dtype)
     f1 = flat_func(t0 + h0, y1)
-    d2 = _rms_norm((f1.astype(acc) - f0a) / scale) / h0
+    d2 = norm_fn((f1.astype(acc) - f0a) / scale) / h0
     small = jnp.maximum(d1, d2) <= 1e-15
     h1 = jnp.where(
         small,
@@ -220,41 +246,62 @@ def _odeint_adams(flat_func, y0_flat, t0, t1, method, step_size, observer,
         incr = sum(c * hist[i] for i, c in enumerate(_AB4))
         return y + h * incr.astype(y.dtype)
 
-    def body(carry, inp):
-        y, hist, obs = carry
-        i, t, h = inp
+    def multistep(y, hist, t, h):
+        """One AB4 (or AB-predict/AM-correct) step. ``hist`` carries the
+        previous 3 derivatives [f_{n-1}, f_{n-2}, f_{n-3}]; f_n is evaluated
+        here, giving the 4-entry window the formulas need."""
         f_n = flat_func(t, y).astype(fdt)
-        hist = jnp.concatenate([f_n[None], hist[:-1]], axis=0)
-        # bootstrap: classic RK4 until the history holds 4 real derivatives
-        y_rk, _, _, _ = _rk_step(flat_func, "rk4_classic", t, y, h)
-        y_ab = ab_predict(y, hist, h)
+        hist4 = jnp.concatenate([f_n[None], hist], axis=0)  # f_n..f_{n-3}
+        y_ab = ab_predict(y, hist4, h)
+        nfe = 1
         if implicit:
             y_next = y_ab
             for _ in range(corrector_iters):        # PECE (fixed iterations)
                 f_pred = flat_func(t + h, y_next).astype(fdt)
-                incr = (_AM4[0] * f_pred + _AM4[1] * hist[0]
-                        + _AM4[2] * hist[1] + _AM4[3] * hist[2])
+                incr = (_AM4[0] * f_pred + _AM4[1] * hist4[0]
+                        + _AM4[2] * hist4[1] + _AM4[3] * hist4[2])
                 y_next = y + h * incr.astype(y.dtype)
-            y_ms = y_next
-        else:
-            y_ms = y_ab
-        y1 = jnp.where(i >= 3, y_ms, y_rk)
+                nfe += 1
+            return y_next, hist4[:-1], nfe
+        return y_ab, hist4[:-1], nfe
+
+    obs0 = observer.init if observer is not None else None
+    # bootstrap PROLOGUE: the first min(3, n) steps run classic RK4 outside
+    # the scan (statically unrolled), feeding the history ring buffer — the
+    # scan body then pays only the multistep cost (the round-1 version
+    # computed RK4 *and* the multistep on every step and selected: 4 wasted
+    # RHS evals per step forever)
+    n_boot = min(3, n_steps)
+    y, obs = y0_flat, obs0
+    hist = jnp.zeros((3,) + y0_flat.shape, fdt)   # f_{n-1}, f_{n-2}, f_{n-3}
+    nfe_host = 0
+    for i in range(n_boot):
+        t_i, h_i = starts[i], hs[i]
+        f_i = flat_func(t_i, y).astype(fdt)
+        hist = jnp.concatenate([f_i[None], hist[:-1]], axis=0)
+        # reuse f_i as the RK4 first stage (stage c0 = 0)
+        y, _, _, n_extra = _rk_step(flat_func, "rk4_classic", t_i, y, h_i,
+                                    f0=f_i.astype(y0_flat.dtype))
+        nfe_host += 1 + n_extra
+        if observer is not None:
+            obs = observer.update(obs, t_i + h_i, unravel(y))
+
+    def body(carry, t_h):
+        y, hist, obs = carry
+        t, h = t_h
+        y1, hist, _ = multistep(y, hist, t, h)
         if observer is not None:
             obs = observer.update(obs, t + h, unravel(y1))
         return (y1, hist, obs), None
 
-    hist0 = jnp.zeros((4,) + y0_flat.shape, fdt)
-    obs0 = observer.init if observer is not None else None
-    idx = jnp.arange(n_steps)
-    (y1, _, obs), _ = jax.lax.scan(body, (y0_flat, hist0, obs0),
-                                   (idx, starts, hs))
-    # NFE: 1 history eval per step, + corrector evals on multistep steps,
-    # + 4 RK stages on the 3 bootstrap steps (counted as executed: the
-    # bootstrap RK and the multistep both run under the select)
-    per_step = 1 + (corrector_iters if implicit else 0) + 4
-    nfe = jnp.asarray(n_steps * per_step, jnp.int32)
+    n_ms = n_steps - n_boot
+    if n_ms > 0:
+        (y, hist, obs), _ = jax.lax.scan(
+            body, (y, hist, obs), (starts[n_boot:], hs[n_boot:]))
+    nfe_host += n_ms * (1 + (corrector_iters if implicit else 0))
     return ODEResult(
-        y=unravel(y1), nfe=nfe, steps=jnp.asarray(n_steps, jnp.int32),
+        y=unravel(y), nfe=jnp.asarray(nfe_host, jnp.int32),
+        steps=jnp.asarray(n_steps, jnp.int32),
         success=jnp.asarray(True), observer=obs,
         t_final=jnp.asarray(t1, tdt))
 
@@ -277,7 +324,8 @@ class _AdaptState(NamedTuple):
 
 def _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol, max_nfe,
                      max_steps, observer, unravel, dtype, differentiable,
-                     first_step=None):
+                     first_step=None, norm_fn=None):
+    norm_fn = _rms_norm if norm_fn is None else norm_fn
     tab = TABLEAUS[method]
     order = tab.order
     # time / step-size arithmetic never drops below f32 (a bf16 state must
@@ -290,7 +338,8 @@ def _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol, max_nfe,
     f0 = flat_func(t0a, y0_flat)
     if first_step is None:
         h0 = jax.lax.stop_gradient(
-            _initial_step(flat_func, t0a, y0_flat, f0, order, rtol, atol))
+            _initial_step(flat_func, t0a, y0_flat, f0, order, rtol, atol,
+                          norm_fn))
         nfe0 = jnp.asarray(2, jnp.int32)
     else:
         h0 = jnp.asarray(first_step, tdt)
@@ -311,7 +360,8 @@ def _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol, max_nfe,
         # (accept/reject + next-h); stop_gradient keeps reverse-mode clean —
         # gradients flow through the accepted RK updates only, matching the
         # discretize-then-optimize convention (and torchdiffeq's behavior).
-        ratio = jax.lax.stop_gradient(_error_ratio(err, st.y, y_prop, rtol, atol))
+        ratio = jax.lax.stop_gradient(
+            _error_ratio(err, st.y, y_prop, rtol, atol, norm_fn))
         accept = ratio <= 1.0
         h_next = jax.lax.stop_gradient(_optimal_step(h, ratio, order))
 
@@ -371,12 +421,19 @@ def _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol, max_nfe,
 def odeint(func, y0, t0, t1, *, method: str = "dopri5", rtol: float = 1e-9,
            atol: float = 1e-7, step_size: float = 1.0, max_nfe: int = 1000,
            max_steps: Optional[int] = None, observer: Optional[Observer] = None,
-           differentiable: bool = True, first_step=None) -> ODEResult:
+           differentiable: bool = True, first_step=None,
+           norm_fn=None) -> ODEResult:
     """Integrate ``dy/dt = func(t, y)`` from t0 to t1 (t1 > t0).
 
     ``y0`` is any pytree. ``t0``, ``t1``, ``step_size`` must be Python floats
     (the step grid / loop bounds are part of the compiled program — the
     reference's T is likewise a fixed hyperparameter, `best_params.py`).
+
+    ``norm_fn(flat_vec) -> scalar`` overrides the RMS error norm of the
+    adaptive controller. Inside ``shard_map`` over a partitioned state this
+    MUST be a psum'd norm: every device has to take identical accept/reject
+    decisions or the per-step collectives deadlock (graphax.dist.model
+    supplies the masked global-RMS version).
     """
     y0_flat, unravel = ravel_pytree(y0)
     dtype = y0_flat.dtype
@@ -399,7 +456,7 @@ def odeint(func, y0, t0, t1, *, method: str = "dopri5", rtol: float = 1e-9,
         max_steps = max(int(max_nfe) // nfe_per_step + 1, 4)
     return _odeint_adaptive(flat_func, y0_flat, t0, t1, method, rtol, atol,
                             max_nfe, max_steps, observer, unravel, dtype,
-                            differentiable, first_step)
+                            differentiable, first_step, norm_fn)
 
 
 # ----------------------------------------------------------------------
@@ -412,7 +469,9 @@ def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
                    max_steps=None,
                    adjoint_method: str = "adaptive_heun",
                    adjoint_rtol: float = 1e-9, adjoint_atol: float = 1e-7,
-                   adjoint_step_size: float = 1.0) -> ODEResult:
+                   adjoint_step_size: float = 1.0,
+                   norm_fn=None, adjoint_norm_fn=None,
+                   record_bwd_nfe: bool = True) -> ODEResult:
     """O(1)-memory gradients through the solve via the continuous adjoint.
 
     Equivalent of the reference's `odeint_adjoint` path selected by
@@ -420,13 +479,20 @@ def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
     including separate adjoint solver/tolerances (`adjoint_method`,
     `tol_scale_adjoint`). ``func(params, t, y) -> dy``; gradients flow to
     ``params`` and ``y0``.
+
+    ``norm_fn`` / ``adjoint_norm_fn`` override the error norms of the forward
+    and backward adaptive controllers (see :func:`odeint` — mandatory psum'd
+    norms inside shard_map). When ``record_bwd_nfe`` the backward solve
+    reports its NFE through a host callback readable via
+    :func:`last_adjoint_bwd_nfe` (the reference's `bm` meter,
+    `src/graph_datasets/run_GNN.py:90-95`).
     """
     solve_kwargs = dict(method=method, rtol=rtol, atol=atol,
                         step_size=step_size, max_nfe=max_nfe,
-                        max_steps=max_steps)
+                        max_steps=max_steps, norm_fn=norm_fn)
     adj_kwargs = dict(method=adjoint_method, rtol=adjoint_rtol,
                       atol=adjoint_atol, step_size=adjoint_step_size,
-                      max_nfe=max_nfe)
+                      max_nfe=max_nfe, norm_fn=adjoint_norm_fn)
 
     @jax.custom_vjp
     def _solve(params, y0):
@@ -475,6 +541,10 @@ def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
         z0 = (y1_flat, g_flat, zero_p)
         res = odeint(aug_dynamics, z0, 0.0, float(t1 - t0),
                      differentiable=False, **adj_kwargs)
+        if record_bwd_nfe:
+            from jax.experimental import io_callback
+
+            io_callback(_record_adjoint_nfe, None, res.nfe, ordered=False)
         _, a0_flat, ap_flat = res.y
         return unravel_p(ap_flat), unravel_y(a0_flat)
 

@@ -167,12 +167,24 @@ class Trainer:
 
     # -- epoch loop ----------------------------------------------------
 
+    def _backward_nfe(self, fwd_nfe: int) -> int:
+        """bm semantics (`run_GNN.py:90-95`): NFE incurred by the backward.
+        Adjoint → the backward solve's own NFE (host-reported by
+        `odeint_adjoint`); non-adjoint → the rematerialized forward evals
+        (= fwd NFE: `jax.checkpoint` re-runs each accepted step once)."""
+        if self.cfg.adjoint:
+            from graphax.ode import last_adjoint_bwd_nfe
+
+            return last_adjoint_bwd_nfe()
+        return fwd_nfe
+
     def train_step(self, state: TrainState):
         state, loss, aux = self._train_step(state, self.data)
         nfe = int(aux["nfe"])
+        loss = float(loss)  # blocks: the adjoint bwd NFE callback has fired
         self.fm.update(nfe)
-        self.bm.update(nfe)  # fwd+bwd NFE are fused under jit; see meters doc
-        return state, float(loss)
+        self.bm.update(self._backward_nfe(nfe))
+        return state, loss
 
     def evaluate(self, state: TrainState):
         accs, aux = self._eval(state.params, state.model_state, self.data)
@@ -268,7 +280,7 @@ class Trainer:
                 loss, nfe, *tmp = (float(v) for v in pulled)
                 best_time = cfg.time
             self.fm.update(int(nfe))
-            self.bm.update(int(nfe))
+            self.bm.update(self._backward_nfe(int(nfe)))
             train_acc, val_acc, test_acc = tmp
             if val_acc > best["val_acc"]:
                 best.update(val_acc=val_acc, test_acc=test_acc,

@@ -200,3 +200,54 @@ def test_adams_observer_and_oscillator():
     np.testing.assert_allclose(
         np.asarray(res.y), [np.cos(3.1), -np.sin(3.1)], atol=1e-5)
     assert float(res.observer) > 3.0
+
+
+def test_adams_nfe_prologue():
+    """The RK4 bootstrap runs only on the first 3 steps (round-2 fix): NFE =
+    3·4 + (n−3)·1 for explicit, + corrector evals for implicit."""
+    def f(t, y):
+        return -y
+
+    y0 = jnp.ones(4)
+    n = 20  # steps over [0, 2] at dt=0.1
+    res = odeint(f, y0, 0.0, 2.0, method="explicit_adams", step_size=0.1)
+    assert int(res.nfe) == 3 * 4 + (n - 3) * 1
+    res_i = odeint(f, y0, 0.0, 2.0, method="implicit_adams", step_size=0.1)
+    assert int(res_i.nfe) == 3 * 4 + (n - 3) * 2
+
+
+def test_adjoint_bwd_nfe_recorded():
+    from graphax.ode import last_adjoint_bwd_nfe, reset_adjoint_bwd_nfe
+    from graphax.ode import odeint_adjoint
+
+    def f(p, t, y):
+        return -p["k"] * y
+
+    y0 = jnp.ones(8)
+    params = {"k": jnp.asarray(0.7)}
+    reset_adjoint_bwd_nfe()
+
+    def loss(p):
+        res = odeint_adjoint(f, p, y0, 0.0, 1.5, method="dopri5",
+                             rtol=1e-6, atol=1e-6,
+                             adjoint_method="adaptive_heun",
+                             adjoint_rtol=1e-6, adjoint_atol=1e-6)
+        return jnp.sum(res.y ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    jax.block_until_ready(g)
+    assert last_adjoint_bwd_nfe() > 0
+
+
+def test_norm_fn_override_changes_controller():
+    """A norm_fn scaled 10x forces smaller accepted steps -> more NFE."""
+    def f(t, y):
+        return jnp.sin(3 * t) * y
+
+    y0 = jnp.ones(16)
+    base = odeint(f, y0, 0.0, 4.0, method="dopri5", rtol=1e-6, atol=1e-6)
+    hard = odeint(f, y0, 0.0, 4.0, method="dopri5", rtol=1e-6, atol=1e-6,
+                  norm_fn=lambda v: 10.0 * jnp.sqrt(jnp.mean(v * v)))
+    np.testing.assert_allclose(np.asarray(base.y), np.asarray(hard.y),
+                               rtol=1e-4)
+    assert int(hard.nfe) > int(base.nfe)

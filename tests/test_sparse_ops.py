@@ -234,3 +234,61 @@ def test_native_row_tiles_match():
     np.testing.assert_array_equal(t_native.local_row, t_numpy.local_row)
     np.testing.assert_array_equal(t_native.col, t_numpy.col)
     np.testing.assert_array_equal(t_native.slot_mask, t_numpy.slot_mask)
+
+
+def test_refined_quantile_matches_sort():
+    """Histogram-bisection quantile vs the exact sort-based masked_quantile
+    (torch.quantile semantics) on random data with padding."""
+    import jax.numpy as jnp
+    from graphax.blocks.hard_attention import masked_quantile
+    from graphax.sparse.quantile import refined_masked_quantile
+
+    rng = np.random.RandomState(0)
+    for trial, q in enumerate([0.05, 0.25, 0.5, 0.811, 0.99]):
+        vals = rng.rand(5000).astype(np.float32) * rng.choice([1.0, 1e-3])
+        mask = rng.rand(5000) < 0.8
+        want = float(masked_quantile(jnp.asarray(vals), jnp.asarray(mask), q))
+        got = float(refined_masked_quantile(jnp.asarray(vals),
+                                            jnp.asarray(mask), q))
+        span = vals[mask].max() - vals[mask].min()
+        assert abs(got - want) <= span / 1024 ** 2 + 1e-7, (trial, got, want)
+
+
+def test_refined_quantile_degenerate():
+    import jax.numpy as jnp
+    from graphax.sparse.quantile import refined_masked_quantile
+
+    vals = jnp.full(100, 0.5, jnp.float32)
+    mask = jnp.ones(100, bool)
+    got = float(refined_masked_quantile(vals, mask, 0.3))
+    assert abs(got - 0.5) < 1e-6
+
+
+def test_distributed_quantile_matches_single():
+    """psum'd histogram bisection inside shard_map equals the single-chip
+    refined quantile (identical rounds/bins ⇒ identical thresholds)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+    from graphax.sparse.quantile import (
+        make_distributed_quantile, refined_masked_quantile,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("graph",))
+    qfn = make_distributed_quantile("graph")
+    rng = np.random.RandomState(1)
+    vals = rng.rand(4, 1000).astype(np.float32)
+    mask = rng.rand(4, 1000) < 0.9
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P("graph"), P("graph")), out_specs=P())
+    def run(v, m):
+        return qfn(v[0], m[0], 0.189)[None]
+
+    got = float(np.ravel(np.asarray(run(jnp.asarray(vals),
+                                        jnp.asarray(mask))))[0])
+    want = float(refined_masked_quantile(
+        jnp.asarray(vals.ravel()), jnp.asarray(mask.ravel()), 0.189))
+    assert abs(got - want) < 1e-6, (got, want)
