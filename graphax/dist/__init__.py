@@ -28,6 +28,8 @@ from graphax.dist.sharded_attention import (
     sharded_knn_candidates,
 )
 from graphax.dist.train_step import make_sharded_grand_trainer
+from graphax.dist.model import make_sharded_gnn, normalized_partition
+from graphax.dist.trainer import DistTrainer
 
 __all__ = [
     "make_mesh", "local_mesh", "EdgePartition", "partition_graph",
@@ -35,4 +37,5 @@ __all__ = [
     "make_sharded_diffusion_step", "make_dp_train_step",
     "make_sharded_attention_rhs", "distributed_masked_quantile",
     "sharded_knn_candidates", "make_sharded_grand_trainer",
+    "make_sharded_gnn", "normalized_partition", "DistTrainer",
 ]

@@ -169,7 +169,7 @@ def shard_window_tables(part: EdgePartition, window: int = 512,
 
 def sharded_spmm_windowed(mesh: Mesh, part: EdgePartition,
                           window: int = 512, tile: int = 128,
-                          axis_name: str = "graph"):
+                          axis_name: str = "graph", overlap: bool = True):
     """Windowed (block-dense) sharded ``A @ x``: returns ``(prepare, f)``.
 
     ``prepare(weights=None) -> state`` densifies each shard's in-window
@@ -179,11 +179,22 @@ def sharded_spmm_windowed(mesh: Mesh, part: EdgePartition,
     all_to_all, one batched block matmul against the extended-state window
     slabs, plus a segment-sum over the (typically small) residual edge set.
     Differentiable end to end (gradients flow through prepare's scatter and
-    the collectives)."""
+    the collectives).
+
+    ``overlap=True`` (default) splits the per-NFE work into a
+    halo-independent part (tiles whose window lies inside the owned block +
+    residual edges with local cols) scheduled WHILE the all_to_all is in
+    flight, and a halo part afterwards — SURVEY §2.8's "all_to_all …
+    overlapped with local-block SpMM". With the BFS community partitioner
+    most tiles pick local windows, so most MXU work hides the exchange.
+    Numerically identical to overlap=False (same edges, reassociated sums)."""
+    import numpy as np
+
     wtab = shard_window_tables(part, window=window, tile=tile)
     t, nbp = wtab["num_tiles"], wtab["padded_rows"]
     nw, ext, nb = wtab["num_windows"], wtab["ext"], part.block_size
     gspec = P(axis_name)
+    p = part.num_shards
 
     flat_idx = jnp.asarray(wtab["flat_idx"])
     in_win = jnp.asarray(wtab["in_win"])
@@ -213,11 +224,53 @@ def sharded_spmm_windowed(mesh: Mesh, part: EdgePartition,
         w = base_w if weights is None else weights
         return prepare_sm(w, (flat_idx, in_win, res_slot, res_mask))
 
+    # ---- host: split tiles & residual edges into halo-independent vs
+    # halo-dependent groups (static, per shard, padded to max) -------------
+    tw_np = wtab["tile_win"]                       # [P, T]
+    is_loc_tile = (tw_np + 1) * window <= nb       # window ⊂ owned block
+    nwl = (nb + window - 1) // window              # local slab windows
+    lt_max = max(int(m.sum()) for m in is_loc_tile)
+    ht_max = max(int((~m).sum()) for m in is_loc_tile)
+    lt_idx = np.zeros((p, max(lt_max, 1)), np.int32)
+    lt_mask = np.zeros((p, max(lt_max, 1)), bool)
+    ht_idx = np.zeros((p, max(ht_max, 1)), np.int32)
+    ht_mask = np.zeros((p, max(ht_max, 1)), bool)
+    for s in range(p):
+        li = np.where(is_loc_tile[s])[0]
+        hi = np.where(~is_loc_tile[s])[0]
+        lt_idx[s, :len(li)] = li; lt_mask[s, :len(li)] = True
+        ht_idx[s, :len(hi)] = hi; ht_mask[s, :len(hi)] = True
+    rc_np, rm_np = wtab["res_col"], wtab["res_mask"]
+    res_is_loc = rm_np & (rc_np < nb)
+    res_is_hal = rm_np & (rc_np >= nb)
+    rl_max = max(max(int(m.sum()) for m in res_is_loc), 1)
+    rh_max = max(max(int(m.sum()) for m in res_is_hal), 1)
+
+    def pack_res(which, cap, off):
+        sl = np.zeros((p, cap), np.int32); mk = np.zeros((p, cap), bool)
+        rr_ = np.zeros((p, cap), np.int32); cc = np.zeros((p, cap), np.int32)
+        for s in range(p):
+            ix = np.where(which[s])[0]
+            sl[s, :len(ix)] = ix; mk[s, :len(ix)] = True
+            rr_[s, :len(ix)] = wtab["res_row"][s][ix]
+            cc[s, :len(ix)] = rc_np[s][ix] - off
+        return sl, mk, rr_, cc
+
+    rl_slot, rl_mask, rl_row, rl_col = pack_res(res_is_loc, rl_max, 0)
+    rh_slot, rh_mask, rh_row, rh_col = pack_res(res_is_hal, rh_max, nb)
+    ov_tabs = {k: jnp.asarray(v) for k, v in dict(
+        lt_idx=lt_idx, lt_mask=lt_mask, ht_idx=ht_idx, ht_mask=ht_mask,
+        rl_slot=rl_slot, rl_mask=rl_mask, rl_row=rl_row, rl_col=rl_col,
+        rh_slot=rh_slot, rh_mask=rh_mask, rh_row=rh_row, rh_col=rh_col,
+        tile_win=tw_np, send_idx=part.send_idx,
+        halo_gather=part.halo_gather).items()}
+    ov_keys = tuple(sorted(ov_tabs))
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(gspec, gspec, gspec, (gspec,) * 5),
         out_specs=gspec)
-    def run(xs, dense, res_vals, tbl):
+    def run_serial(xs, dense, res_vals, tbl):
         tw, rr, rc, sidx, hg = tuple(a[0] for a in tbl)
         x = xs[0]
         halo = halo_exchange(x, sidx, hg, part.num_shards, part.pair_size,
@@ -234,12 +287,159 @@ def sharded_spmm_windowed(mesh: Mesh, part: EdgePartition,
         outr = jax.ops.segment_sum(gathered, rr, num_segments=nb)
         return (outw + outr).astype(x.dtype)[None]
 
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(gspec, gspec, gspec, {k: gspec for k in ov_keys}),
+        out_specs=gspec)
+    def run_overlap(xs, dense, res_vals, tbl):
+        t_ = {k: v[0] for k, v in tbl.items()}
+        x = xs[0]
+        d = x.shape[-1]
+        dn = dense[0]
+        rv = res_vals[0]
+        # 1) issue the exchange
+        send_buf = x[t_["send_idx"].reshape(-1)] \
+            .reshape(part.num_shards, part.pair_size, d)
+        recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        # 2) halo-independent MXU work (overlaps the collective):
+        #    local-window tiles against the owned-block slab
+        slab_loc = jnp.pad(x, ((0, nwl * window - nb), (0, 0))) \
+            .reshape(nwl, window, d)
+        tw_l = jnp.clip(t_["tile_win"][t_["lt_idx"]], 0, nwl - 1)
+        dn_l = dn[t_["lt_idx"]] * t_["lt_mask"][:, None, None]
+        out_t = jnp.zeros((t, tile, d), jnp.float32)
+        out_t = out_t.at[t_["lt_idx"]].add(
+            jnp.einsum("trw,twd->trd", dn_l, jnp.take(slab_loc, tw_l,
+                                                      axis=0),
+                       preferred_element_type=jnp.float32))
+        #    + local-col residual edges
+        w_rl = jnp.where(t_["rl_mask"], rv[t_["rl_slot"]], 0.0)
+        outr = jax.ops.segment_sum(x[t_["rl_col"]] * w_rl[:, None],
+                                   t_["rl_row"], num_segments=nb)
+        # 3) halo-dependent work
+        halo = recv.reshape(part.num_shards * part.pair_size,
+                            d)[t_["halo_gather"]]
+        x_ext = jnp.concatenate([x, halo], axis=0)
+        slab_ext = jnp.pad(x_ext, ((0, nw * window - ext), (0, 0))) \
+            .reshape(nw, window, d)
+        tw_h = t_["tile_win"][t_["ht_idx"]]
+        dn_h = dn[t_["ht_idx"]] * t_["ht_mask"][:, None, None]
+        out_t = out_t.at[t_["ht_idx"]].add(
+            jnp.einsum("trw,twd->trd", dn_h, jnp.take(slab_ext, tw_h,
+                                                      axis=0),
+                       preferred_element_type=jnp.float32))
+        w_rh = jnp.where(t_["rh_mask"], rv[t_["rh_slot"]], 0.0)
+        outr = outr + jax.ops.segment_sum(
+            halo[t_["rh_col"]] * w_rh[:, None], t_["rh_row"],
+            num_segments=nb)
+        out = out_t.reshape(nbp, d)[:nb] + outr
+        return out.astype(x.dtype)[None]
+
     def f(xs, state):
         dense, res_vals = state
-        return run(xs, dense, res_vals,
-                   (tile_win, res_row, res_col, send_idx, halo_gather))
+        if overlap:
+            return run_overlap(xs, dense, res_vals, ov_tabs)
+        return run_serial(xs, dense, res_vals,
+                          (tile_win, res_row, res_col, send_idx,
+                           halo_gather))
 
     return prepare, f
+
+
+def halo_split_tables(part: EdgePartition, pad_multiple: int = 8):
+    """Host: split each shard's edge list into halo-INDEPENDENT edges
+    (col < Nb — gather from the local block) and halo-DEPENDENT edges
+    (col ≥ Nb — gather from the exchange result). Static stacked tables.
+
+    This is the enabler for communication/compute overlap (SURVEY §2.8
+    "all_to_all … overlapped with local-block SpMM"): the local partial sum
+    has NO data dependency on the all_to_all, so XLA's latency-hiding
+    scheduler runs it while the collective is in flight."""
+    import numpy as np
+
+    p, nb = part.num_shards, part.block_size
+    loc, hal = [], []
+    for s in range(p):
+        m = part.edge_mask[s]
+        is_halo = part.local_col[s] >= nb
+        loc.append(np.where(m & ~is_halo)[0])
+        hal.append(np.where(m & is_halo)[0])
+    el = _pad_len(max(len(x) for x in loc), pad_multiple)
+    eh = _pad_len(max(max(len(x) for x in hal), 1), pad_multiple)
+
+    def pack(idx_lists, cap, col_offset):
+        slot = np.zeros((p, cap), np.int32)
+        mask = np.zeros((p, cap), bool)
+        row = np.zeros((p, cap), np.int32)
+        col = np.zeros((p, cap), np.int32)
+        for s in range(p):
+            ix = idx_lists[s]
+            k = len(ix)
+            slot[s, :k] = ix
+            mask[s, :k] = True
+            row[s, :k] = part.local_row[s][ix]
+            col[s, :k] = part.local_col[s][ix] - col_offset
+        return slot, mask, row, col
+
+    l_slot, l_mask, l_row, l_col = pack(loc, el, 0)
+    h_slot, h_mask, h_row, h_col = pack(hal, eh, nb)
+    return dict(loc_slot=l_slot, loc_mask=l_mask, loc_row=l_row,
+                loc_col=l_col, halo_slot=h_slot, halo_mask=h_mask,
+                halo_row=h_row, halo_col=h_col)
+
+
+def _pad_len(n: int, m: int) -> int:
+    return ((max(n, 1) + m - 1) // m) * m
+
+
+def sharded_spmm_halo_overlap(mesh: Mesh, part: EdgePartition,
+                              axis_name: str = "graph"):
+    """``A @ x`` with the halo exchange OVERLAPPED with the local-block
+    partial SpMM: issue the all_to_all, reduce the halo-independent edges
+    against the local state (no dependency on the collective), then add the
+    halo-edge partial once the exchange lands. Numerically identical to
+    :func:`sharded_spmm_halo` (same edges, two segment-sums instead of one;
+    pinned by tests/test_dist.py)."""
+    split = halo_split_tables(part)
+    tabs = {k: jnp.asarray(v) for k, v in split.items()}
+    tabs["weight"] = jnp.asarray(part.edge_weight * part.edge_mask)
+    tabs["send_idx"] = jnp.asarray(part.send_idx)
+    tabs["halo_gather"] = jnp.asarray(part.halo_gather)
+    keys = tuple(sorted(tabs))
+    spec = P(axis_name)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, {k: spec for k in keys}),
+                       out_specs=spec)
+    def run(xs, tbl):
+        t = {k: v[0] for k, v in tbl.items()}
+        x = xs[0]
+        d = x.shape[-1]
+        # 1) issue the exchange
+        send_buf = x[t["send_idx"].reshape(-1)] \
+            .reshape(part.num_shards, part.pair_size, d)
+        recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        # 2) local partial — independent of `recv`, overlaps the collective
+        w_loc = jnp.where(t["loc_mask"], t["weight"][t["loc_slot"]], 0.0)
+        out = jax.ops.segment_sum(x[t["loc_col"]] * w_loc[:, None],
+                                  t["loc_row"],
+                                  num_segments=part.block_size)
+        # 3) halo partial — consumes the exchange
+        halo = recv.reshape(part.num_shards * part.pair_size,
+                            d)[t["halo_gather"]]
+        w_hal = jnp.where(t["halo_mask"], t["weight"][t["halo_slot"]], 0.0)
+        out = out + jax.ops.segment_sum(
+            halo[t["halo_col"]] * w_hal[:, None], t["halo_row"],
+            num_segments=part.block_size)
+        return out[None]
+
+    def f(xs, weights=None):
+        tbl = tabs if weights is None else {**tabs, "weight": weights}
+        return run(xs, tbl)
+
+    return f
 
 
 def _global_cols(part: EdgePartition):

@@ -1,0 +1,159 @@
+"""DistTrainer — the Trainer-compatible epoch loop over the sharded model.
+
+This is how `Config.mesh_shape` comes alive: `drivers/run_gnn.py` (and any
+user code) constructs DistTrainer when ``prod(cfg.mesh_shape) > 1`` and gets
+the same `fit()` contract as `graphax.train.loop.Trainer` — per-epoch train
+step, (early-stop) evaluation, best-val tracking, checkpointing — with the
+node state sharded over the mesh's 'graph' axis and one halo all_to_all per
+RHS evaluation (graphax.dist.model). Params/opt-state are replicated, so the
+Trainer's npz checkpoints are interchangeable between 1 and N chips.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphax.data.container import GraphData
+from graphax.dist.mesh import make_mesh
+from graphax.dist.model import make_sharded_gnn, normalized_partition
+from graphax.dist.partition import shard_nodes, unshard_nodes
+from graphax.train.loop import Meter, TrainState, add_labels
+
+
+class DistTrainer:
+    """Multi-chip twin of `graphax.train.loop.Trainer` (same fit loop as
+    `run_GNN.py:249-275`). The graph axis size comes from cfg.mesh_shape;
+    partitioning uses the native BFS community partitioner by default."""
+
+    def __init__(self, cfg, data: GraphData, mesh=None,
+                 partition_method: str = "bfs"):
+        self.cfg = cfg
+        self.data = data
+        n_graph = int(np.prod(cfg.mesh_shape))
+        self.mesh = mesh or make_mesh((n_graph,), ("graph",))
+        try:
+            self.part = normalized_partition(cfg, data.graph, n_graph,
+                                             method=partition_method)
+        except Exception:
+            self.part = normalized_partition(cfg, data.graph, n_graph)
+        self.model = make_sharded_gnn(self.mesh, self.part, cfg,
+                                      data.num_features, data.num_classes)
+        from graphax.train.optimizers import get_optimizer
+
+        self.tx = get_optimizer(cfg.optimizer, cfg.lr, cfg.decay)
+        self.fm, self.bm = Meter(), Meter()
+        self._shard_static()
+
+    def _shard_static(self):
+        data, part = self.data, self.part
+        sh = lambda a: jnp.asarray(shard_nodes(np.asarray(a), part))
+        shm = lambda m: jnp.asarray(shard_nodes(
+            np.asarray(m)[:, None].astype(np.float32), part))[..., 0] > 0.5
+        self.ys = jnp.asarray(shard_nodes(
+            np.asarray(data.y)[:, None], part))[..., 0].astype(jnp.int32)
+        self.m_tr = shm(data.train_mask)
+        self.m_va = shm(data.val_mask)
+        self.m_te = shm(data.test_mask)
+        self.pos = (sh(data.pos_encoding)
+                    if data.pos_encoding is not None else None)
+        self._x_base = np.asarray(data.x)
+
+    def _features(self, rng, train: bool):
+        """Label trick host-side (cheap N×C work), then shard — mirrors
+        Trainer._prepare_features / `run_GNN.py:39-59`."""
+        cfg, data = self.cfg, self.data
+        feat = self._x_base
+        if cfg.use_labels:
+            if train and rng is not None:
+                coin = jax.random.uniform(rng, data.train_mask.shape) \
+                    < cfg.label_rate
+                label_mask = np.asarray(data.train_mask) & np.asarray(coin)
+            else:
+                label_mask = np.asarray(data.train_mask)
+            feat = np.asarray(add_labels(
+                jnp.asarray(feat), jnp.asarray(data.y),
+                jnp.asarray(label_mask), data.num_classes))
+        return jnp.asarray(shard_nodes(feat, self.part))
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        k1, k2 = jax.random.split(rng)
+        params, model_state = self.model.init(k1)
+        return TrainState(params=params, model_state=model_state,
+                          opt_state=self.tx.init(params), rng=k2)
+
+    def train_step(self, state: TrainState):
+        rng, rng_labels, rng_model = jax.random.split(state.rng, 3)
+        xs = self._features(rng_labels, train=True)
+        params, mstate, opt_state, loss, nfe = self.model.train_step(
+            state.params, state.model_state, state.opt_state, xs, self.ys,
+            self.m_tr, rng_model, pos=self.pos)
+        loss = float(np.ravel(np.asarray(loss))[0])
+        nfe = int(np.ravel(np.asarray(nfe))[0])
+        self.fm.update(nfe)
+        if self.cfg.adjoint:
+            from graphax.ode import last_adjoint_bwd_nfe
+
+            self.bm.update(last_adjoint_bwd_nfe())
+        else:
+            self.bm.update(nfe)
+        return TrainState(params, mstate, opt_state, rng), loss
+
+    def evaluate(self, state: TrainState):
+        xs = self._features(None, train=False)
+        accs = self.model.eval_accs(state.params, state.model_state, xs,
+                                    self.ys, self.m_tr, self.m_va, self.m_te,
+                                    pos=self.pos)
+        accs = np.ravel(np.asarray(accs))
+        return float(accs[0]), float(accs[1]), float(accs[2])
+
+    def evaluate_early(self, state: TrainState) -> Dict[str, float]:
+        xs = self._features(None, train=False)
+        out = self.model.eval_early(state.params, state.model_state, xs,
+                                    self.ys, self.m_tr, self.m_va, self.m_te,
+                                    pos=self.pos)
+        return {k: float(v) for k, v in out.items()}
+
+    def fit(self, epochs: Optional[int] = None, log_every: int = 0,
+            use_early_stop: Optional[bool] = None,
+            seed: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        epochs = cfg.epoch if epochs is None else epochs
+        if use_early_stop is None:
+            use_early_stop = not cfg.no_early
+        state = self.init_state(seed)
+        best = {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0,
+                "epoch": 0, "best_time": 0.0}
+        history = []
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            state, loss = self.train_step(state)
+            if use_early_stop:
+                res = self.evaluate_early(state)
+                train_acc, val_acc, test_acc = (res["best_train"],
+                                                res["best_val"],
+                                                res["best_test"])
+                best_time = res["best_time"]
+            else:
+                train_acc, val_acc, test_acc = self.evaluate(state)
+                best_time = cfg.time
+            if val_acc > best["val_acc"]:
+                best.update(val_acc=val_acc, test_acc=test_acc,
+                            train_acc=train_acc, epoch=epoch,
+                            best_time=best_time)
+            history.append(dict(epoch=epoch, loss=loss, train_acc=train_acc,
+                                val_acc=val_acc, test_acc=test_acc,
+                                time=time.time() - t0,
+                                nfe=self.fm.get_value()))
+            if log_every and epoch % log_every == 0:
+                h = history[-1]
+                print(f"Epoch {epoch:4d} | shards "
+                      f"{self.part.num_shards} | time {h['time']:.3f}s | "
+                      f"loss {loss:.4f} | nfe {h['nfe']} | val "
+                      f"{val_acc:.4f} | best val {best['val_acc']:.4f}")
+        return {"best": best, "history": history, "state": state}

@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, default="./data")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--synthetic_fallback", action="store_true", default=True)
+    p.add_argument("--mesh_shape", type=str, default=argparse.SUPPRESS,
+                   help="comma-separated graph-axis mesh, e.g. '4' or '8' — "
+                        ">1 routes training through the sharded DistTrainer")
     for f in dataclasses.fields(Config):
         if f.name in ("mesh_shape", "mesh_axes"):
             continue
@@ -46,6 +49,9 @@ def config_from_args(args) -> Config:
     explicit = {k: v for k, v in vars(args).items()
                 if k not in ("use_best_params", "data_dir", "log_every",
                              "synthetic_fallback")}
+    if isinstance(explicit.get("mesh_shape"), str):
+        explicit["mesh_shape"] = tuple(
+            int(s) for s in explicit["mesh_shape"].split(",") if s)
     dataset = explicit.get("dataset", "Cora")
     if args.use_best_params:
         from graphax.train.presets import BEST_PARAMS
@@ -90,7 +96,14 @@ def run(cfg: Config, data_dir: str = "./data", log_every: int = 10,
 
             data = community_reorder(data, window=cfg.community_window)
 
-        trainer = Trainer(cfg, data)
+        if int(np.prod(cfg.mesh_shape)) > 1:
+            # cfg.mesh_shape > 1 chip: node-sharded training over the mesh
+            # (graphax.dist.DistTrainer, same fit contract)
+            from graphax.dist import DistTrainer
+
+            trainer = DistTrainer(cfg, data)
+        else:
+            trainer = Trainer(cfg, data)
         out = trainer.fit(log_every=log_every, seed=split)
         val_accs.append(out["best"]["val_acc"])
         test_accs.append(out["best"]["test_acc"])

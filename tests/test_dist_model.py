@@ -1,0 +1,225 @@
+"""Sharded full-model parity: the multi-chip GRAND/BLEND model
+(graphax.dist.model) vs the single-chip Trainer, with TRANSPLANTED weights
+(identical param pytree). Covers: dopri5 through the sharded RHS with a
+psum'd masked error norm (identical step sequences), the attention and
+hard-attention blocks (distributed histogram quantile), batch-norm with
+psum'd statistics, the adjoint training path, and the early-stop observer
+with psum'd accuracies."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphax import Config
+from graphax.data import make_sbm_dataset
+from graphax.dist import make_mesh
+from graphax.dist.model import make_sharded_gnn, normalized_partition
+from graphax.dist.partition import shard_nodes, unshard_nodes
+from graphax.train.loop import Trainer
+
+
+def _data(seed=0, n=96):
+    d = make_sbm_dataset(num_nodes=n, num_classes=3, num_features=12,
+                         p_in=0.15, p_out=0.01, feature_noise=2.0, seed=seed)
+    return dataclasses.replace(d, graph=dataclasses.replace(
+        d.graph, strategy="edge"))
+
+
+def _shard_all(data, part):
+    xs = jnp.asarray(shard_nodes(np.asarray(data.x), part))
+    ys = jnp.asarray(shard_nodes(
+        np.asarray(data.y)[:, None], part))[..., 0].astype(jnp.int32)
+    sh = lambda m: jnp.asarray(shard_nodes(
+        np.asarray(m)[:, None].astype(np.float32), part))[..., 0] > 0.5
+    return xs, ys, sh(data.train_mask), sh(data.val_mask), sh(data.test_mask)
+
+
+CFGS = {
+    "attention_dopri5": Config(
+        block="attention", function="laplacian", hidden_dim=16, heads=2,
+        attention_dim=16, method="dopri5", time=2.0, tol_scale=10.0,
+        add_source=True, self_loop_weight=1.0, input_dropout=0.0,
+        dropout=0.0, lr=0.02, no_early=True, max_nfe=500),
+    "hard_attention_rk4": Config(
+        block="hard_attention", function="laplacian", hidden_dim=16, heads=2,
+        attention_dim=16, method="rk4", step_size=0.5, time=2.0,
+        att_samp_pct=0.6, add_source=True, self_loop_weight=1.0,
+        input_dropout=0.0, dropout=0.0, lr=0.02, no_early=True),
+    "transformer_bn": Config(
+        block="constant", function="transformer", hidden_dim=16, heads=2,
+        attention_dim=16, method="dopri5", time=1.5, tol_scale=10.0,
+        batch_norm=True, add_source=True, self_loop_weight=1.0,
+        input_dropout=0.0, dropout=0.0, lr=0.02, no_early=True, max_nfe=500),
+    "mixed_norm_idx1_squareplus": Config(
+        block="mixed", function="laplacian", hidden_dim=16, heads=2,
+        attention_dim=16, attention_norm_idx=1, square_plus=True,
+        method="rk4", step_size=0.5, time=2.0, add_source=True,
+        self_loop_weight=1.0, input_dropout=0.0, dropout=0.0, lr=0.02,
+        no_early=True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CFGS))
+def test_sharded_forward_matches_single_chip(name):
+    """Transplanted weights, eval forward: sharded logits == Trainer logits
+    (same solver step sequences — the masked psum'd norm reproduces the
+    single-chip error norm exactly)."""
+    cfg = CFGS[name]
+    data = _data()
+    trainer = Trainer(cfg, data)
+    state = trainer.init_state(seed=0)
+
+    mesh = make_mesh((8,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 8)
+    sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                               data.num_classes)
+    xs, ys, m_tr, m_va, m_te = _shard_all(data, part)
+
+    logits_sh = unshard_nodes(
+        np.asarray(sharded.forward_logits(state.params, state.model_state,
+                                          xs)), part)
+    feat, _ = trainer._prepare_features(None, train=False)
+    logits_1, _, aux = trainer.model.apply(
+        state.params, state.model_state, data.graph, feat, train=False)
+    np.testing.assert_allclose(logits_sh, np.asarray(logits_1), rtol=2e-4,
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["attention_dopri5", "hard_attention_rk4"])
+def test_sharded_training_matches_single_chip(name):
+    """3 full training steps, same init: losses track the single-chip
+    Trainer's (both use the same optimizer and the same quantile path)."""
+    cfg = CFGS[name]
+    data = _data()
+    trainer = Trainer(cfg, data)
+    st = trainer.init_state(seed=0)
+
+    mesh = make_mesh((8,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 8)
+    sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                               data.num_classes)
+    xs, ys, m_tr, m_va, m_te = _shard_all(data, part)
+
+    params, mstate = st.params, st.model_state
+    opt_state = trainer.tx.init(params)
+    losses_sh = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        params, mstate, opt_state, loss, nfe = sharded.train_step(
+            params, mstate, opt_state, xs, ys, m_tr,
+            jax.random.fold_in(rng, i))
+        losses_sh.append(float(np.ravel(np.asarray(loss))[0]))
+
+    state = st
+    losses_1 = []
+    for _ in range(3):
+        state, loss = trainer.train_step(state)
+        losses_1.append(loss)
+
+    np.testing.assert_allclose(losses_sh, losses_1, rtol=2e-4, atol=2e-5)
+    # and the updated parameters agree
+    w_sh = np.asarray(params["m2"]["w"])
+    w_1 = np.asarray(state.params["m2"]["w"])
+    np.testing.assert_allclose(w_sh, w_1, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_adjoint_trains():
+    """dopri5 forward + adaptive_heun adjoint backward, all inside
+    shard_map: loss decreases and grads stay finite; forward loss at shared
+    params equals the single-chip adjoint forward loss."""
+    cfg = CFGS["attention_dopri5"].replace(adjoint=True,
+                                           adjoint_method="adaptive_heun",
+                                           tol_scale_adjoint=10.0)
+    data = _data()
+    trainer = Trainer(cfg, data)
+    st = trainer.init_state(seed=0)
+
+    mesh = make_mesh((8,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 8)
+    sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                               data.num_classes)
+    xs, ys, m_tr, *_ = _shard_all(data, part)
+
+    params, mstate = st.params, st.model_state
+    opt_state = trainer.tx.init(params)
+    rng = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(4):
+        params, mstate, opt_state, loss, nfe = sharded.train_step(
+            params, mstate, opt_state, xs, ys, m_tr,
+            jax.random.fold_in(rng, i))
+        losses.append(float(np.ravel(np.asarray(loss))[0]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    # step-1 loss parity vs the single-chip adjoint path (forward identical)
+    state1, loss1 = trainer.train_step(st)
+    np.testing.assert_allclose(losses[0], loss1, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_early_stop_matches_single_chip():
+    """The early-stop observer (psum'd accuracies) returns the same best
+    val/test/time as the single-chip evaluate_early."""
+    cfg = CFGS["attention_dopri5"].replace(no_early=False, earlystopxT=2.0,
+                                           max_test_steps=50)
+    data = _data()
+    trainer = Trainer(cfg, data)
+    st = trainer.init_state(seed=0)
+
+    mesh = make_mesh((8,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 8)
+    sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                               data.num_classes)
+    xs, ys, m_tr, m_va, m_te = _shard_all(data, part)
+
+    got = sharded.eval_early(st.params, st.model_state, xs, ys, m_tr, m_va,
+                             m_te)
+    want = trainer.evaluate_early(st)
+    np.testing.assert_allclose(float(got["best_val"]),
+                               float(want.best_val), atol=1e-6)
+    np.testing.assert_allclose(float(got["best_test"]),
+                               float(want.best_test), atol=1e-6)
+    # the overlap split reassociates the RHS sums (loc + halo partials), so
+    # accepted dopri5 steps land at fp-order-different times; accuracies
+    # above still match exactly
+    np.testing.assert_allclose(float(got["best_time"]),
+                               float(want.best_time), rtol=5e-3)
+    assert abs(int(got["nfe"]) - int(want.nfe)) <= 12  # ≤2 steps drift
+
+
+def test_sharded_beltrami_forward():
+    """Beltrami exp_kernel (BLEND) forward runs sharded and matches the
+    single-chip model."""
+    cfg = Config(
+        block="attention", function="laplacian", beltrami=True,
+        attention_type="exp_kernel", feat_hidden_dim=12,
+        pos_enc_hidden_dim=4, pos_enc_dim=6, heads=2, attention_dim=16,
+        method="rk4", step_size=0.5, time=1.5, add_source=True,
+        self_loop_weight=1.0, input_dropout=0.0, dropout=0.0,
+        no_early=True)
+    data = _data()
+    rngp = np.random.RandomState(3)
+    pos = rngp.randn(data.graph.num_nodes, 6).astype(np.float32)
+    data = dataclasses.replace(data, pos_encoding=jnp.asarray(pos))
+
+    trainer = Trainer(cfg, data)
+    st = trainer.init_state(seed=0)
+    mesh = make_mesh((8,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 8)
+    sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                               data.num_classes)
+    xs, ys, *_ = _shard_all(data, part)
+    pos_sh = jnp.asarray(shard_nodes(pos, part))
+
+    logits_sh = unshard_nodes(
+        np.asarray(sharded.forward_logits(st.params, st.model_state, xs,
+                                          pos=pos_sh)), part)
+    feat, _ = trainer._prepare_features(None, train=False)
+    logits_1, _, _ = trainer.model.apply(
+        st.params, st.model_state, data.graph, feat, train=False,
+        pos_encoding=data.pos_encoding)
+    np.testing.assert_allclose(logits_sh, np.asarray(logits_1), rtol=2e-4,
+                               atol=2e-5)
