@@ -69,6 +69,57 @@ def bench_chained(fn, state, *args, iters=10, warmup=1):
     return max(t - rtt, 1e-9) / iters
 
 
+def measure_peaks(dtype):
+    """Empirical single-chip peaks — the roofline denominators.
+
+    HBM: stream-copy bandwidth of a 256MB elementwise op (read+write).
+    MXU: sustained matmul rate at a large square size. Measured, not quoted
+    from a spec sheet, so the roofline %s hold on whatever chip the driver
+    runs (v5e/v6e/...)."""
+    import jax
+    import jax.numpy as jnp
+
+    m = 4096
+    big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
+
+    @jax.jit
+    def stream(v):
+        out = jax.lax.scan(lambda c, _: (c * 1.0001 + 1.0, None), v, None,
+                           length=8)[0]
+        return jnp.sum(out[::1024])
+
+    a = jnp.ones((m, m), dtype)
+
+    @jax.jit
+    def mm(v):
+        out = jax.lax.scan(lambda c, _: ((c @ a) * 1e-3, None), v, None,
+                           length=8)[0]
+        return jnp.sum(out.astype(jnp.float32)[::64, ::64])
+
+    rtt = _round_trip()
+    float(stream(big)); float(mm(a))
+    t_bw = (min(_time_fetch(stream, big) for _ in range(3)) - rtt) / 8
+    t_mm = (min(_time_fetch(mm, a) for _ in range(3)) - rtt) / 8
+    hbm_gbps = 2 * big.size * 4 / max(t_bw, 1e-9) / 1e9
+    mxu_tflops = 2 * m ** 3 / max(t_mm, 1e-9) / 1e12
+    return hbm_gbps, mxu_tflops
+
+
+def roofline(t_s, bytes_moved, flops, hbm_gbps, mxu_tflops):
+    """Achieved fraction of the measured memory/compute peaks + the
+    bound-implied floor time."""
+    t_mem = bytes_moved / (hbm_gbps * 1e9)
+    t_mxu = flops / (mxu_tflops * 1e12)
+    return {
+        "bytes_mb": round(bytes_moved / 1e6, 1),
+        "gflops": round(flops / 1e9, 2),
+        "pct_of_hbm_peak": round(100 * t_mem / t_s, 1),
+        "pct_of_mxu_peak": round(100 * t_mxu / t_s, 1),
+        "floor_ms": round(max(t_mem, t_mxu) * 1e3, 3),
+        "headroom_x": round(t_s / max(t_mem, t_mxu, 1e-12), 1),
+    }
+
+
 def build_sorted_edges(n, avg_deg, seed=0):
     rng = np.random.RandomState(seed)
     row = rng.randint(0, n, n * avg_deg)
@@ -188,6 +239,62 @@ def main():
     t_densify = max(min(_time_fetch(_densify, g_win.edge_weight)
                         for _ in range(3)) - rtt, 1e-9)
 
+    # ---- training step: GRAND-nl fwd+bwd RHS, Pallas vs XLA route -------
+    # (round-2 deliverable: the per-NFE TRAINING attention rides Pallas end
+    # to end — kernels.pallas_attention backward kernels)
+    def grad_step(func, p):
+        def step(s, fs):
+            def loss(xx, qw):
+                pp = {**p, "att": {**p["att"], "Q": {**p["att"]["Q"],
+                                                     "w": qw}}}
+                return jnp.sum(func.rhs(pp, fs, 0.0, xx)
+                               .astype(jnp.float32))
+
+            gx, gq = jax.grad(loss, argnums=(0, 1))(s, p["att"]["Q"]["w"])
+            # fold a param-grad scalar in so neither cotangent is DCE'd
+            return (s * 0.99 + 0.01 * gx.astype(s.dtype)
+                    + (jnp.sum(gq) * 1e-12).astype(s.dtype))
+        return step
+
+    fs_train_pl = make_fstate(g_tiled, x, train=True, cfg=cfg_att)
+    fs_train_xla = make_fstate(g_tiled, x, train=True)
+    t_train_pl = bench_chained(grad_step(f_att, p_att), x, fs_train_pl,
+                               iters=6)
+    t_train_xla = bench_chained(grad_step(f_att, p_att), x, fs_train_xla,
+                                iters=6)
+
+    # ---- roofline: measured chip peaks + per-path traffic/FLOP models ---
+    hbm_gbps, mxu_tflops = measure_peaks(dtype)
+    bpe = jnp.dtype(dtype).itemsize
+    wt = g_win.windows
+    t_tiles, tile_r, win_w = wt.num_tiles, wt.tile, wt.window
+    res_e = int(np.asarray(wt.residual.slot_mask).sum())
+    # tiled SpMM per NFE: gather E·D (random), weights E·4, out N·D write
+    # (+f32 partial traffic folded into the 2x on out)
+    bytes_tiled = e * d * bpe + e * 4 + 2 * n * d * 4
+    flops_tiled = 2 * e * d
+    # windowed per NFE: dense blocks T·tile·W, slab reads ≤ T·W·D, out
+    # N·D f32 + residual gather
+    bytes_win = (t_tiles * tile_r * win_w * bpe + t_tiles * win_w * d * bpe
+                 + 2 * n * d * 4 + res_e * d * bpe + res_e * 4)
+    flops_win = 2 * t_tiles * tile_r * win_w * d + 2 * res_e * d
+    # attention RHS (tiled): + K projection on gathered sources (E·A·D
+    # FLOPs), scores/normalize E·H traffic
+    a_dim = cfg_att.attention_dim
+    bytes_att = bytes_tiled + 3 * e * cfg_att.heads * 4 + n * a_dim * bpe
+    flops_att = flops_tiled + 2 * e * a_dim * d + 2 * e * a_dim
+
+    roof = {
+        "hbm_gbps_measured": round(hbm_gbps, 1),
+        "mxu_tflops_measured": round(mxu_tflops, 1),
+        "spmm_tiled": roofline(t_lap, bytes_tiled, flops_tiled, hbm_gbps,
+                               mxu_tflops),
+        "spmm_windowed": roofline(t_win, bytes_win, flops_win, hbm_gbps,
+                                  mxu_tflops),
+        "attention_tiled": roofline(t_att, bytes_att, flops_att, hbm_gbps,
+                                    mxu_tflops),
+    }
+
     # ---- Cora scale (dense strategy) ------------------------------------
     nc, dc = 2485, 80
     rc, cc = build_sorted_edges(nc, 4, seed=2)
@@ -238,6 +345,13 @@ def main():
             "attention_windowed_vs_tiled": round(t_att_win_tiled
                                                  / t_att_win, 2),
         },
+        "train_step": {
+            "n_edges": e,
+            "train_rhs_fwdbwd_ms_pallas": round(t_train_pl * 1e3, 2),
+            "train_rhs_fwdbwd_ms_xla": round(t_train_xla * 1e3, 2),
+            "pallas_vs_xla": round(t_train_xla / t_train_pl, 2),
+        },
+        "roofline": roof,
         "cora_scale_dense": {
             "n_nodes": nc, "n_edges": ec,
             "spmm_rhs_ms": round(t_cora * 1e3, 3),

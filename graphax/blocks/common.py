@@ -50,7 +50,7 @@ def normalize_graph(cfg, graph: Graph, double_self_loops: bool = True) -> Graph:
 
 
 def make_fstate(graph, x, attention=None, y=None,
-                train: bool = True) -> FuncState:
+                train: bool = True, cfg=None) -> FuncState:
     """Assemble the per-forward FuncState; under the dense strategy the
     [N,N] operator is materialized HERE, once per forward, so the solver's
     RHS evaluations are pure matmuls (graphax.kernels.dense_path)."""
@@ -82,7 +82,19 @@ def make_fstate(graph, x, attention=None, y=None,
             values = graph.edge_weight if attention is None else attention
             wb = blocked_values(values, graph.tiles)
             wb_t = blocked_values(values, graph.tiles_t)
-    fast_att = (not train and graph.strategy == "tiled"
+    # eval forwards always ride the streaming/flash kernels; train forwards
+    # do too when the config has a Pallas backward (round 2 —
+    # kernels.pallas_attention.pallas_bwd_supported), else they stay on the
+    # XLA fused path (a Pallas fwd whose bwd replays XLA would be slower)
+    train_ok = False
+    if train and cfg is not None:
+        from graphax.kernels.pallas_attention import pallas_bwd_supported
+
+        train_ok = (pallas_bwd_supported(cfg)
+                    and getattr(graph, "tiles_t", None) is not None
+                    and getattr(graph.tiles_t, "perm_from_row", None)
+                    is not None)
+    fast_att = ((not train or train_ok) and graph.strategy == "tiled"
                 and graph.tiles is not None and x.ndim == 2
                 and (jax.default_backend() == "tpu"
                      or pallas_tiled_FORCE()))

@@ -28,7 +28,7 @@ def make_constant_block(cfg, in_dim: int) -> ODEBlock:
     def forward(params, graph, x, *, train: bool, y=None, t1=None,
                 observer=None, max_steps=None) -> BlockOutput:
         g = normalize_graph(cfg, graph)
-        fstate = make_fstate(g, x, y=y, train=train)
+        fstate = make_fstate(g, x, y=y, train=train, cfg=cfg)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)
 

@@ -268,7 +268,8 @@ def make_transformer(cfg, in_dim: int) -> DiffusionFunction:
                 fused_attention_ax_pallas
 
             ax = fused_attention_ax_pallas(cfg, params["att"], g.tiles, x,
-                                           edge_weight=g.edge_weight)
+                                           edge_weight=g.edge_weight,
+                                           tiles_t=g.tiles_t)
         elif g.tiles is not None and fused_path_applicable(cfg):
             ax = fused_attention_ax(cfg, params["att"], g.tiles, x,
                                     edge_weight=g.edge_weight)

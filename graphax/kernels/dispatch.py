@@ -47,10 +47,18 @@ def attach_tiles(graph, tile: int = 128, block_edges: int = None,
         import jax.numpy as _jnp
 
         remapped = order[np.asarray(tt.edge_slot)]
+        t_mask = np.asarray(tt.slot_mask)
+        remapped = np.where(t_mask, remapped, 0).astype(np.int32)
+        # slot permutation row-layout -> transpose-layout: transpose slot j
+        # holds edge remapped[j]; find the row-layout slot of that edge
+        r_slot = np.asarray(tiles.edge_slot).reshape(-1)
+        r_mask = np.asarray(tiles.slot_mask).reshape(-1)
+        inv = np.zeros(max(e, 1), np.int64)
+        inv[r_slot[r_mask]] = np.nonzero(r_mask)[0]
+        perm = np.where(t_mask, inv[remapped].reshape(t_mask.shape), 0)
         tiles_t = dataclasses.replace(
-            tt, edge_slot=_jnp.asarray(
-                np.where(np.asarray(tt.slot_mask), remapped, 0)
-                .astype(np.int32)))
+            tt, edge_slot=_jnp.asarray(remapped),
+            perm_from_row=_jnp.asarray(perm.reshape(-1).astype(np.int32)))
     return dataclasses.replace(graph, tiles=tiles, tiles_t=tiles_t)
 
 

@@ -428,7 +428,291 @@ def flash_applicable(cfg) -> bool:
 
 
 # ----------------------------------------------------------------------
-# Assembled RHS with custom_vjp (backward replays the XLA fused path)
+# Backward kernels (round 2): train=True rides Pallas end to end.
+#
+# Math (per edge e=(r,c), head h; s scores, α = softmax_row(s), out_r =
+# Σ_e mean_h(α_eh)·x_c, cotangent g):
+#   da_e   = g_r · x_c                       (SDDMM — B1)
+#   dα_eh  = da_e / H
+#   ρ_rh   = Σ_{e∈row r} α_eh dα_eh          (row reduce — B1)
+#   ds_eh  = α_eh (dα_eh − ρ_rh)             (softmax bwd — B2)
+#   dq̃_r   = Σ_{e∈row r} ds_eh k_c           (row reduce — B2)
+#   dk_e   = ds_eh q̃_r                       (per edge — B2)
+#   dx     = Aᵀ(mean_h α) g  +  dq̃ Qᵀ/√dk  +  (Σ_col dk) Kᵀ
+# Row reductions are one-hot matmuls on the row-tiled grid; col reductions
+# reuse the transpose layout via the static slot permutation
+# (`RowTiles.perm_from_row`) — gathers, never E-sized scatters.
+# Covers scaled_dot + row softmax (the GRAND-nl default); other score
+# types/normalizations keep the XLA-replay backward.
+# ----------------------------------------------------------------------
+
+
+def _bwd1_kernel(tidx_ref, first_ref, s_ref, shift_ref, denom_ref, g_ref,
+                 xg_ref, lrow_ref, amean_out, ah_out, da_out, rho_out):
+    b = pl.program_id(0)
+    lrow = lrow_ref[0, 0]
+    eb = lrow.shape[0]
+    tile = g_ref.shape[1]
+    heads = s_ref.shape[1]
+    oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
+            == lrow[None, :])
+    oh32 = oh_b.astype(jnp.float32)
+    ohT32 = (lrow[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (eb, tile), 1)).astype(jnp.float32)
+    mask_e = (lrow < tile)[None, :]
+
+    shift_e = jax.lax.dot_general(
+        shift_ref[0], oh32, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [H, Eb]
+    e = jnp.exp(s_ref[0] - shift_e)
+    e = jnp.where(mask_e, e, 0.0)
+    denom_e = jax.lax.dot_general(
+        denom_ref[0], oh32, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    alpha = e / jnp.where(denom_e > 0, denom_e, 1.0)       # [H, Eb]
+    ah_out[0] = alpha
+    amean_out[0, 0] = jnp.where(mask_e[0], jnp.mean(alpha, axis=0), 0.0)
+
+    g_edge = jax.lax.dot_general(
+        ohT32, g_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [Eb, D]
+    da = jnp.sum(g_edge * xg_ref[0].astype(jnp.float32), axis=1)
+    da = jnp.where(mask_e[0], da, 0.0)
+    da_out[0, 0] = da
+
+    prod = alpha * (da / heads)[None, :]
+    rho_part = jax.lax.dot_general(
+        prod, oh32, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [H, tile]
+
+    @pl.when(first_ref[b] == 1)
+    def _init():
+        rho_out[0] = rho_part
+
+    @pl.when(first_ref[b] == 0)
+    def _acc():
+        rho_out[0] += rho_part
+
+
+def _bwd1_call(scores, shift, denom, g_tiles, xg, local_row, tile_idx,
+               num_tiles, tile):
+    b, heads, eb = scores.shape
+    d = xg.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, heads, tile), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, heads, tile), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, tile, d), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, eb, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, heads, tile), lambda i, t, f: (t[i], 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        _bwd1_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, eb), jnp.float32),
+            jax.ShapeDtypeStruct((b, heads, eb), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, eb), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, heads, tile), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(tile_idx, first_flags(tile_idx), scores, shift, denom, g_tiles, xg,
+      local_row[:, None])
+
+
+def _make_bwd2_kernel(heads: int):
+    def kernel(tidx_ref, first_ref, ah_ref, da_ref, rho_ref, xg_ref,
+               wk_ref, bk_ref, lrow_ref, dq_out):
+        b = pl.program_id(0)
+        lrow = lrow_ref[0, 0]
+        eb = lrow.shape[0]
+        tile = dq_out.shape[1]
+        oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
+                == lrow[None, :])
+        oh32 = oh_b.astype(jnp.float32)
+
+        rho_e = jax.lax.dot_general(
+            rho_ref[0], oh32, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [H, Eb]
+        dalpha = (da_ref[0, 0] / heads)[None, :]
+        ds = ah_ref[0] * (dalpha - rho_e)                  # [H, Eb]
+
+        k_t = jax.lax.dot_general(
+            wk_ref[:], xg_ref[0], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [A, Eb]
+        k_t = k_t + bk_ref[0][:, None].astype(jnp.float32)
+        a = k_t.shape[0]
+        d_k = a // heads
+        k_h = k_t.reshape(heads, d_k, eb)
+        m = (k_h * ds[:, None, :]).reshape(a, eb)          # [A, Eb]
+        dq_part = jax.lax.dot_general(
+            oh32, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [tile, A]
+
+        @pl.when(first_ref[b] == 1)
+        def _init():
+            dq_out[0] = dq_part
+
+        @pl.when(first_ref[b] == 0)
+        def _acc():
+            dq_out[0] += dq_part
+
+    return kernel
+
+
+def _bwd2_call(heads, ah, da, rho, xg, wk, bk, local_row, tile_idx,
+               num_tiles, tile):
+    b, _, eb = ah.shape
+    d = xg.shape[-1]
+    a = wk.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, heads, tile), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, eb, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((wk.shape[0], a), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, a), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, a), lambda i, t, f: (t[i], 0, 0)),
+    )
+    return pl.pallas_call(
+        _make_bwd2_kernel(heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, tile, a), jnp.float32),
+        interpret=_interpret(),
+    )(tile_idx, first_flags(tile_idx), ah, da, rho, xg, wk, bk,
+      local_row[:, None])
+
+
+def _make_bwd3_kernel(heads: int):
+    """TRANSPOSE-side kernel: per col tile, recompute per-edge ds from node
+    tables gathered outside (shift/denom/ρ at row_e = tt_col) and emit BOTH
+    col-indexed cotangents in one pass:
+      dk_c  = Σ_{e: col=c} ds_eh · q̃[row_e]
+      dxv_c = Σ_{e: col=c} mean_h(α_eh) · g[row_e]
+    This replaces the round-2-draft [E, A] slot-permutation gather that
+    profiling showed at ~110 ms/step at arxiv scale — per-edge data is
+    GATHERED from small node tables instead of permuted between layouts."""
+
+    def kernel(tidx_ref, first_ref, qg_ref, gg_ref, k_ref, x_ref, se_ref,
+               de_ref, re_ref, lrow_ref, dk_out, dxv_out):
+        b = pl.program_id(0)
+        lrow = lrow_ref[0, 0]
+        eb = lrow.shape[0]
+        tile = k_ref.shape[1]
+        oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
+                == lrow[None, :])
+        oh32 = oh_b.astype(jnp.float32)
+        mask_e = (lrow < tile)[None, :]
+
+        # per-edge k (tile-local cols) and q̃ (gathered rows)
+        k_e = jax.lax.dot_general(
+            k_ref[0].astype(jnp.float32), oh32, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [A, Eb]
+        a = k_e.shape[0]
+        d_k = a // heads
+        qg = qg_ref[0].astype(jnp.float32).T               # [A, Eb]
+        q_h = qg.reshape(heads, d_k, eb)
+        k_h = k_e.reshape(heads, d_k, eb)
+        s = jnp.sum(q_h * k_h, axis=1)                     # [H, Eb]
+        se = se_ref[0].astype(jnp.float32).T               # [H, Eb]
+        de = de_ref[0].astype(jnp.float32).T
+        re = re_ref[0].astype(jnp.float32).T
+        e = jnp.where(mask_e, jnp.exp(s - se), 0.0)
+        alpha = e / jnp.where(de > 0, de, 1.0)
+        # da_e = g[row_e]·x[col_e]: g gathered per edge, x tile-local
+        x_e = jax.lax.dot_general(
+            x_ref[0].astype(jnp.float32), oh32, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [D, Eb]
+        da = jnp.sum(gg_ref[0].astype(jnp.float32).T * x_e,
+                     axis=0)[None, :]                      # [1, Eb]
+        ds = alpha * (da / heads - re)                     # [H, Eb]
+
+        m = (q_h * ds[:, None, :]).reshape(a, eb)          # [A, Eb]
+        dk_part = jax.lax.dot_general(
+            oh32, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [tile, A]
+        amean = jnp.where(mask_e[0], jnp.mean(alpha, axis=0), 0.0)
+        gv = gg_ref[0] * amean[:, None].astype(gg_ref.dtype)
+        dxv_part = jax.lax.dot_general(
+            oh_b.astype(gg_ref.dtype), gv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [tile, D]
+
+        @pl.when(first_ref[b] == 1)
+        def _init():
+            dk_out[0] = dk_part
+            dxv_out[0] = dxv_part
+
+        @pl.when(first_ref[b] == 0)
+        def _acc():
+            dk_out[0] += dk_part
+            dxv_out[0] += dxv_part
+
+    return kernel
+
+
+def _bwd3_call(heads, qg, gg, k_tiles, x_tiles, se, de, re, local_row,
+               tile_idx, num_tiles, tile):
+    b, eb, a = qg.shape
+    d = gg.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, eb, a), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, eb, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, tile, a), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, tile, d), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, eb, heads), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, eb, heads), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, eb, heads), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, a), lambda i, t, f: (t[i], 0, 0)),
+            pl.BlockSpec((1, tile, d), lambda i, t, f: (t[i], 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_bwd3_kernel(heads),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, tile, a), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, tile, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(tile_idx, first_flags(tile_idx), qg, gg, k_tiles, x_tiles, se, de, re,
+      local_row[:, None])
+
+
+def pallas_bwd_supported(cfg) -> bool:
+    """Configs whose backward runs as Pallas kernels (others keep the
+    XLA-replay backward — still correct, one extra XLA forward)."""
+    return (cfg.attention_type == "scaled_dot"
+            and cfg.attention_norm_idx == 0
+            and not cfg.square_plus
+            and not cfg.mix_features
+            and not cfg.reweight_attention
+            and not (cfg.beltrami and cfg.attention_type == "exp_kernel"))
+
+
+# ----------------------------------------------------------------------
+# Assembled RHS with custom_vjp (backward: Pallas kernels for the GRAND-nl
+# default config, XLA-replay fallback otherwise)
 # ----------------------------------------------------------------------
 
 def _f0(a):
@@ -436,15 +720,18 @@ def _f0(a):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes):
+def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None):
+    """``t_shape = (num_tiles_t, tile_t)`` enables the Pallas backward on
+    the transpose layout; None keeps the XLA-replay backward."""
     from graphax.kernels.fused_attention import fused_attention_ax
+    from graphax.kernels.pallas_tiled import _spmm_call
     from graphax.kernels.tiles import RowTiles
     from graphax.utils.params import linear_apply
 
     heads = cfg.heads
+    pallas_bwd = t_shape is not None
 
-    def _forward(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-                 t_tidx):
+    def _prep(att_params, x, edge_weight, t_slot, t_mask, t_col):
         q = linear_apply(att_params["Q"], x)
         if cfg.attention_type == "scaled_dot":
             q = q / jnp.sqrt(jnp.asarray(cfg.attention_dim // heads,
@@ -469,9 +756,15 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes):
                 .astype(jnp.float32)
         else:
             scal = jnp.zeros((1, 2), jnp.float32)
+        return q_tiles, xg, wk, bk, wb, scal
 
+    def _forward(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+                 t_tidx, allow_flash=True, want_residuals=False):
+        q_tiles, xg, wk, bk, wb, scal = _prep(att_params, x, edge_weight,
+                                              t_slot, t_mask, t_col)
         present = presence_scale(t_tidx, num_tiles) > 0
-        if flash_applicable(cfg):
+        residuals = None
+        if flash_applicable(cfg) and allow_flash and not want_residuals:
             out = _flash_call(
                 cfg.attention_type, bool(cfg.reweight_attention), heads,
                 q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal, num_tiles,
@@ -493,8 +786,10 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes):
                                   t_lrow, t_tidx, num_tiles, tile)
             out = _attspmm_call(e, denom, xg, t_lrow, t_tidx, num_tiles,
                                 tile)
+            residuals = (scores, shift, denom)
         out = jnp.where(present[:, None, None], out, 0.0)
-        return out.reshape(num_tiles * tile, -1)[:num_nodes].astype(x.dtype)
+        out = out.reshape(num_tiles * tile, -1)[:num_nodes].astype(x.dtype)
+        return out, residuals
 
     def _xla_replay(att_params, x, edge_weight, t_slot, t_mask, t_col,
                     t_lrow, t_tidx):
@@ -505,40 +800,146 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes):
         return fused_attention_ax(cfg, att_params, tiles, x,
                                   edge_weight=edge_weight)
 
+    if not pallas_bwd:
+        @jax.custom_vjp
+        def f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+              t_tidx):
+            return _forward(att_params, x, edge_weight, t_slot, t_mask,
+                            t_col, t_lrow, t_tidx)[0]
+
+        def fwd(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+                t_tidx):
+            y = f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+                  t_tidx)
+            return y, (att_params, x, edge_weight, t_slot, t_mask, t_col,
+                       t_lrow, t_tidx)
+
+        def bwd(res, g):
+            att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow, \
+                t_tidx = res
+            _, vjp = jax.vjp(
+                lambda p, xx, ew: _xla_replay(p, xx, ew, t_slot, t_mask,
+                                              t_col, t_lrow, t_tidx),
+                att_params, x, edge_weight)
+            dp, dx, dew = vjp(g.astype(x.dtype))
+            return (dp, dx, dew, _f0(t_slot), _f0(t_mask), _f0(t_col),
+                    _f0(t_lrow), _f0(t_tidx))
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    num_tiles_t, tile_t = t_shape
+    d_k = cfg.attention_dim // heads
+    scale_c = 1.0 / np.sqrt(d_k)
+
+    def _node_table(tiled):
+        """[T, H, tile] row-tile table → [T·tile, H] node-indexed table."""
+        return jnp.transpose(tiled, (0, 2, 1)).reshape(
+            num_tiles * tile, heads)
+
     @jax.custom_vjp
-    def f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow, t_tidx):
+    def f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow, t_tidx,
+          tt_col, tt_lrow, tt_tidx):
         return _forward(att_params, x, edge_weight, t_slot, t_mask, t_col,
-                        t_lrow, t_tidx)
+                        t_lrow, t_tidx)[0]
 
     def fwd(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-            t_tidx):
-        y = _forward(att_params, x, edge_weight, t_slot, t_mask, t_col,
-                     t_lrow, t_tidx)
-        return y, (att_params, x, edge_weight, t_slot, t_mask, t_col,
-                   t_lrow, t_tidx)
+            t_tidx, tt_col, tt_lrow, tt_tidx):
+        # the 3-kernel forward (not flash) so the softmax residuals exist
+        y, (scores, shift, denom) = _forward(
+            att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+            t_tidx, allow_flash=False, want_residuals=True)
+        return y, (att_params, x, edge_weight, scores, shift, denom, t_col,
+                   t_lrow, t_tidx, tt_col, tt_lrow, tt_tidx)
 
     def bwd(res, g):
-        att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow, \
-            t_tidx = res
-        _, vjp = jax.vjp(
-            lambda p, xx, ew: _xla_replay(p, xx, ew, t_slot, t_mask, t_col,
-                                          t_lrow, t_tidx),
-            att_params, x, edge_weight)
-        dp, dx, dew = vjp(g.astype(x.dtype))
-        return (dp, dx, dew, _f0(t_slot), _f0(t_mask), _f0(t_col),
-                _f0(t_lrow), _f0(t_tidx))
+        (att_params, x, edge_weight, scores, shift, denom, t_col, t_lrow,
+         t_tidx, tt_col, tt_lrow, tt_tidx) = res
+        xg = x[t_col]
+        g_tiles = _tile_rows(g.astype(jnp.float32), num_tiles, tile)
+        amean, ah, da, rho = _bwd1_call(scores, shift, denom, g_tiles, xg,
+                                        t_lrow, t_tidx, num_tiles, tile)
+        q = linear_apply(att_params["Q"], x) * scale_c   # q̃ (pre-scaled)
+        wk = att_params["K"]["w"].astype(x.dtype)
+        bk = att_params["K"]["b"].astype(jnp.float32)[None, :]
+        dq_acc = _bwd2_call(heads, ah, da, rho, xg, wk, bk, t_lrow, t_tidx,
+                            num_tiles, tile)
+        present = presence_scale(t_tidx, num_tiles) > 0
+        dq_acc = jnp.where(present[:, None, None], dq_acc, 0.0)
+        dq = dq_acc.reshape(num_tiles * tile, -1)[:num_nodes] * scale_c
+
+        # transpose-side pass (B3): dk and dx_val in one kernel. Per-edge
+        # data comes from small node-table gathers at row_e = tt_col —
+        # no cross-layout slot permutation (which profiled at ~110 ms).
+        qb16 = q.astype(x.dtype)
+        k = (x @ wk + att_params["K"]["b"].astype(x.dtype))
+        qg = qb16[tt_col]                                  # [Bt, Ebt, A]
+        gg = g.astype(x.dtype)[tt_col]                     # [Bt, Ebt, D]
+        k_tiles = _tile_rows(k, num_tiles_t, tile_t)
+        x_tiles = _tile_rows(x, num_tiles_t, tile_t)
+        shift_n = _node_table(shift)
+        denom_n = _node_table(denom)
+        rho_n = _node_table(rho)
+        se = shift_n[tt_col]
+        de = denom_n[tt_col]
+        re = rho_n[tt_col]
+        dkc_t, dxv_t = _bwd3_call(heads, qg, gg, k_tiles, x_tiles, se, de,
+                                  re, tt_lrow, tt_tidx, num_tiles_t, tile_t)
+        present_t = presence_scale(tt_tidx, num_tiles_t) > 0
+        dk_col = jnp.where(present_t[:, None, None], dkc_t, 0.0) \
+            .reshape(num_tiles_t * tile_t, -1)[:num_nodes]
+        dx_val = jnp.where(present_t[:, None, None], dxv_t, 0.0) \
+            .reshape(num_tiles_t * tile_t, -1)[:num_nodes]
+
+        xf = x.astype(jnp.float32)
+        dqw = xf.T @ dq
+        dqb = jnp.sum(dq, axis=0)
+        dkw = xf.T @ dk_col
+        dkb = jnp.sum(dk_col, axis=0)
+        dx = (dx_val.astype(jnp.float32)
+              + dq @ att_params["Q"]["w"].astype(jnp.float32).T
+              + dk_col @ att_params["K"]["w"].astype(jnp.float32).T)
+
+        dp = jax.tree_util.tree_map(jnp.zeros_like, att_params)
+        dp = dict(dp)
+        dp["Q"] = {"w": dqw.astype(att_params["Q"]["w"].dtype),
+                   "b": dqb.astype(att_params["Q"]["b"].dtype)}
+        dp["K"] = {"w": dkw.astype(att_params["K"]["w"].dtype),
+                   "b": dkb.astype(att_params["K"]["b"].dtype)}
+        dew = jnp.zeros_like(edge_weight)
+        return (dp, dx.astype(x.dtype), dew,
+                _f0_of(t_col), _f0_of(t_col), _f0_of(t_col),
+                _f0_of(t_lrow), _f0_of(t_tidx),
+                _f0_of(tt_col), _f0_of(tt_lrow), _f0_of(tt_tidx))
 
     f.defvjp(fwd, bwd)
     return f
 
 
-def fused_attention_ax_pallas(cfg, att_params, tiles, x, edge_weight=None):
+def _f0_of(a):
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
+def fused_attention_ax_pallas(cfg, att_params, tiles, x, edge_weight=None,
+                              tiles_t=None):
     """Streaming Pallas version of `fused_attention.fused_attention_ax`
-    (head-mean, row-normalized transformer attention RHS)."""
-    f = _make_fused(cfg, tiles.num_tiles, tiles.tile, tiles.block_edges,
-                    tiles.num_nodes)
+    (head-mean, row-normalized transformer attention RHS). With ``tiles_t``
+    (carrying ``perm_from_row``) and a supported config, the BACKWARD also
+    runs as Pallas kernels — train=True forwards ride Pallas end to end."""
+    use_pallas_bwd = (tiles_t is not None
+                      and getattr(tiles_t, "perm_from_row", None) is not None
+                      and pallas_bwd_supported(cfg))
     if edge_weight is None:
         edge_weight = jnp.zeros(tiles.edge_slot.reshape(-1).shape,
                                 jnp.float32)
+    if use_pallas_bwd:
+        f = _make_fused(cfg, tiles.num_tiles, tiles.tile, tiles.block_edges,
+                        tiles.num_nodes,
+                        t_shape=(tiles_t.num_tiles, tiles_t.tile))
+        return f(att_params, x, edge_weight, tiles.edge_slot,
+                 tiles.slot_mask, tiles.col, tiles.local_row, tiles.tile_idx,
+                 tiles_t.col, tiles_t.local_row, tiles_t.tile_idx)
+    f = _make_fused(cfg, tiles.num_tiles, tiles.tile, tiles.block_edges,
+                    tiles.num_nodes)
     return f(att_params, x, edge_weight, tiles.edge_slot, tiles.slot_mask,
              tiles.col, tiles.local_row, tiles.tile_idx)

@@ -33,6 +33,11 @@ class RowTiles:
     tile: int = dataclasses.field(metadata=dict(static=True))
     block_edges: int = dataclasses.field(metadata=dict(static=True))
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    # On a TRANSPOSE layout (tiles_t): [B·Eb] int32 mapping each of MY slots
+    # to the row-layout slot holding the same edge — lets the attention
+    # backward move per-edge quantities between layouts with one fast gather
+    # instead of an E-sized scatter (graphax.kernels.pallas_attention).
+    perm_from_row: jax.Array = None
 
     @property
     def num_blocks(self) -> int:

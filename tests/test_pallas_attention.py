@@ -161,3 +161,103 @@ def test_flash_fallback_many_heads():
     want = fused_attention_ax(cfg, p, g.tiles, x, edge_weight=g.edge_weight)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_backward_kernels_match_xla():
+    """Round 2: the Pallas backward (B1/B2 + transpose-layout col
+    reductions) vs the XLA fused path's autodiff, for the supported config
+    (scaled_dot, row softmax)."""
+    from graphax.kernels.pallas_attention import pallas_bwd_supported
+
+    g = make_graph(seed=16)
+    d = 4
+    cfg = Config(function="transformer", heads=2, attention_dim=8,
+                 hidden_dim=d, attention_type="scaled_dot")
+    assert pallas_bwd_supported(cfg)
+    assert g.tiles_t is not None and g.tiles_t.perm_from_row is not None
+    p = randomized_params(cfg, d, seed=17)
+    rng = np.random.RandomState(18)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    probe = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+
+    def loss_pl(p, x):
+        return jnp.sum(fused_attention_ax_pallas(
+            cfg, p, g.tiles, x, tiles_t=g.tiles_t) * probe)
+
+    def loss_xla(p, x):
+        return jnp.sum(fused_attention_ax(cfg, p, g.tiles, x) * probe)
+
+    # forward parity
+    np.testing.assert_allclose(
+        np.asarray(fused_attention_ax_pallas(cfg, p, g.tiles, x,
+                                             tiles_t=g.tiles_t)),
+        np.asarray(fused_attention_ax(cfg, p, g.tiles, x)),
+        rtol=1e-4, atol=1e-5)
+    # gradient parity (params Q/K w/b + x)
+    gp, gx_ = jax.grad(loss_pl, argnums=(0, 1))(p, x)
+    wp, wx_ = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(gx_), np.asarray(wx_),
+                               rtol=2e-4, atol=2e-5)
+    for name in ("Q", "K"):
+        for leaf in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(gp[name][leaf]), np.asarray(wp[name][leaf]),
+                rtol=2e-4, atol=2e-5, err_msg=f"{name}/{leaf}")
+    # V/Wout untouched by the head-mean RHS -> zero grads both sides
+    assert float(jnp.abs(jax.tree_util.tree_leaves(gp["V"])[0]).max()) == 0
+
+
+def test_train_forward_routes_pallas_when_supported(monkeypatch):
+    """make_fstate now enables fast_attention for train=True when the config
+    has a Pallas backward."""
+    from graphax.kernels import pallas_tiled
+    from graphax.blocks.common import make_fstate
+
+    monkeypatch.setattr(pallas_tiled, "FORCE", True)
+    g = make_graph(seed=19)
+    cfg_ok = Config(function="transformer", heads=2, attention_dim=8,
+                    hidden_dim=4, attention_type="scaled_dot")
+    cfg_no = cfg_ok.replace(square_plus=True)
+    rng = np.random.RandomState(20)
+    x = jnp.asarray(rng.randn(g.num_nodes, 4), jnp.float32)
+    assert make_fstate(g, x, train=True, cfg=cfg_ok).fast_attention
+    assert not make_fstate(g, x, train=True, cfg=cfg_no).fast_attention
+    assert make_fstate(g, x, train=False, cfg=cfg_no).fast_attention
+
+
+@pytest.mark.parametrize("adjoint", [False, True])
+def test_grand_nl_trains_through_pallas(monkeypatch, adjoint):
+    """End to end: GRAND-nl training steps (dopri5; direct and adjoint
+    grads) with the per-NFE attention RHS routed through the Pallas
+    fwd+bwd kernels — losses finite and decreasing, matching the XLA route."""
+    from graphax.kernels import pallas_tiled
+    from graphax.data import make_sbm_dataset
+    from graphax.train.loop import Trainer
+
+    data = make_sbm_dataset(num_nodes=48, num_classes=3, num_features=8,
+                            p_in=0.2, p_out=0.02, feature_noise=2.0, seed=0)
+    g = attach_tiles(data.graph, tile=8, block_edges=16)
+    data = dataclasses.replace(
+        data, graph=dataclasses.replace(g, strategy="tiled"))
+    cfg = Config(function="transformer", block="constant", hidden_dim=8,
+                 heads=2, attention_dim=8, attention_type="scaled_dot",
+                 method="dopri5", time=1.0, tol_scale=100.0, max_nfe=200,
+                 add_source=True, input_dropout=0.0, dropout=0.0, lr=0.03,
+                 no_early=True, adjoint=adjoint,
+                 adjoint_method="adaptive_heun", tol_scale_adjoint=100.0)
+
+    def run(force):
+        monkeypatch.setattr(pallas_tiled, "FORCE", force)
+        tr = Trainer(cfg, data, jit=True)
+        st = tr.init_state(seed=0)
+        losses = []
+        for _ in range(3):
+            st, loss = tr.train_step(st)
+            losses.append(loss)
+        return losses
+
+    l_pl = run(True)
+    l_xla = run(False)
+    assert all(np.isfinite(l_pl))
+    assert l_pl[-1] < l_pl[0]
+    np.testing.assert_allclose(l_pl, l_xla, rtol=2e-3, atol=2e-4)
