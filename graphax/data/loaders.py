@@ -177,12 +177,14 @@ def load_npz_dataset(name: str, data_dir: str):
 # ----------------------------------------------------------------------
 
 def load_ogbn_arxiv(data_dir: str):
-    import gzip
-
+    """Parse the OGB raw csv.gz layout; cached to a single npz after the
+    first parse (the 1.2M-row edge file + 169k x 128 float csv take minutes
+    with a text parser — the npz reloads in well under a second)."""
     base = None
     for cand in (os.path.join(data_dir, "ogbn_arxiv"),
                  os.path.join(data_dir, "ogbn-arxiv")):
-        if os.path.exists(os.path.join(cand, "raw", "edge.csv.gz")):
+        if os.path.exists(os.path.join(cand, "raw", "edge.csv.gz")) \
+                or os.path.exists(os.path.join(cand, "processed_graphax.npz")):
             base = cand
             break
     if base is None:
@@ -191,22 +193,39 @@ def load_ogbn_arxiv(data_dir: str):
             "(need <dir>/ogbn_arxiv/raw/{edge,node-feat,node-label}.csv.gz "
             "and split/time/{train,valid,test}.csv.gz)")
 
-    def read_csv_gz(p):
-        with gzip.open(p, "rt") as f:
-            return np.loadtxt(f, delimiter=",", ndmin=2)
+    cache = os.path.join(base, "processed_graphax.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as f:
+            return (f["row"], f["col"], f["x"], f["y"], 40,
+                    (f["train_mask"], f["valid_mask"], f["test_mask"]))
+
+    def read_csv_gz(p, dtype):
+        try:  # pandas' C tokenizer is ~20x np.loadtxt on these files
+            import pandas as pd
+            return pd.read_csv(p, header=None, dtype=dtype).to_numpy()
+        except ImportError:
+            import gzip
+            with gzip.open(p, "rt") as f:
+                return np.loadtxt(f, delimiter=",", ndmin=2).astype(dtype)
 
     raw = os.path.join(base, "raw")
-    edges = read_csv_gz(os.path.join(raw, "edge.csv.gz")).astype(np.int64)
-    x = read_csv_gz(os.path.join(raw, "node-feat.csv.gz")).astype(np.float32)
-    y = read_csv_gz(os.path.join(raw, "node-label.csv.gz")).astype(np.int64).ravel()
+    edges = read_csv_gz(os.path.join(raw, "edge.csv.gz"), np.int64)
+    x = read_csv_gz(os.path.join(raw, "node-feat.csv.gz"), np.float32)
+    y = read_csv_gz(os.path.join(raw, "node-label.csv.gz"), np.int64).ravel()
     split_dir = os.path.join(base, "split", "time")
     masks = []
     for part in ("train", "valid", "test"):
-        idx = read_csv_gz(os.path.join(split_dir, f"{part}.csv.gz")) \
-            .astype(np.int64).ravel()
+        idx = read_csv_gz(os.path.join(split_dir, f"{part}.csv.gz"),
+                          np.int64).ravel()
         m = np.zeros(x.shape[0], dtype=bool)
         m[idx] = True
         masks.append(m)
+    try:
+        np.savez_compressed(
+            cache, row=edges[:, 0], col=edges[:, 1], x=x, y=y,
+            train_mask=masks[0], valid_mask=masks[1], test_mask=masks[2])
+    except OSError:
+        pass  # read-only data dir: parse each time
     return edges[:, 0], edges[:, 1], x, y, 40, tuple(masks)
 
 

@@ -195,11 +195,20 @@ def build_clevr_style_dataset(num_samples: int = 64, grid: int = 14,
                               max_question_len: int = 16,
                               num_classes: int = 28,
                               cache_path: Optional[str] = None,
+                              data_dir: Optional[str] = None,
                               seed: int = 0) -> MultimodalGraphDataset:
     """Build (or load) the precomputed HDF5 with image-grid features,
     question features, and answers — the shape/layout of the reference's
-    CLEVR precompute (`images [N, g², feat]`, chunked)."""
+    CLEVR precompute (`images [N, g², feat]`, chunked). When real
+    extractor checkpoints are staged under ``data_dir`` (a torchvision
+    resnet101 ``.pth`` / a HuggingFace text model dir — see
+    `graphax.data.extractors`), patch and token features come from those
+    weights; otherwise deterministic random projections keep the pipeline
+    hermetic."""
     import h5py
+
+    from graphax.data.extractors import (ImageFeatureExtractor,
+                                         TextFeatureExtractor)
 
     if cache_path and os.path.exists(cache_path):
         with h5py.File(cache_path, "r") as f:
@@ -208,14 +217,19 @@ def build_clevr_style_dataset(num_samples: int = 64, grid: int = 14,
             answers = f["answers"][:]
     else:
         rng = np.random.RandomState(seed)
-        # stand-in feature extractors: random-projected raw patches / tokens
-        raw_imgs = rng.rand(num_samples, grid, grid, 3).astype(np.float32)
-        proj = rng.randn(3, feat_dim).astype(np.float32) / np.sqrt(3)
-        images = (raw_imgs @ proj).reshape(num_samples, grid * grid,
-                                           feat_dim)
+        img_ex = ImageFeatureExtractor(feat_dim, grid=grid,
+                                       data_dir=data_dir, seed=seed)
+        txt_ex = TextFeatureExtractor(text_dim, vocab_size=100,
+                                      data_dir=data_dir, seed=seed)
+        if img_ex.using_real_weights:
+            # the ResNet trunk downsamples 16x to reach the g x g patch grid
+            raw_imgs = rng.rand(num_samples, grid * 16, grid * 16, 3) \
+                .astype(np.float32)
+        else:
+            raw_imgs = rng.rand(num_samples, grid, grid, 3).astype(np.float32)
+        images = img_ex(raw_imgs)
         token_ids = rng.randint(0, 100, (num_samples, max_question_len))
-        vocab = rng.randn(100, text_dim).astype(np.float32)
-        questions = vocab[token_ids]
+        questions = txt_ex(token_ids)
         # answers depend on both modalities so VQA training is meaningful
         answers = ((raw_imgs.mean(axis=(1, 2, 3)) * 10).astype(np.int64)
                    + token_ids[:, 0] // 10) % num_classes

@@ -112,7 +112,8 @@ def train_image_dataset(name: str = "MNIST", epochs: int = 2,
 
 def train_clevr_style(epochs: int = 2, batch_size: int = 4,
                       num_samples: int = 32, cache_path=None,
-                      log: bool = True, seed: int = 0) -> dict:
+                      data_dir=None, log: bool = True, seed: int = 0
+                      ) -> dict:
     """CLEVR-style VQA: grid-graph diffusion over image features with
     cross-modal attention against the question tokens (multi_modal path of
     every ODE function)."""
@@ -126,7 +127,8 @@ def train_clevr_style(epochs: int = 2, batch_size: int = 4,
     from graphax.train.config import Config
 
     ds = build_clevr_style_dataset(num_samples=num_samples,
-                                   cache_path=cache_path, seed=seed)
+                                   cache_path=cache_path,
+                                   data_dir=data_dir, seed=seed)
     feat_dim = ds.images.shape[-1]
     text_dim = ds.questions.shape[-1]
     cfg = Config(multi_modal=True, second_modality_dim=text_dim,

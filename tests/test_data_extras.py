@@ -127,3 +127,193 @@ def test_synthetic_fallback_homophily_class_count_invariant():
             y = np.asarray(data.y)
             same = (y[row[off_diag]] == y[col[off_diag]]).mean()
             assert 0.6 < same < 0.9, (name, same)
+
+
+# ----------------------------------------------------------------------
+# round 2: real-data readiness (VERDICT #9) + extractor checkpoints (#6)
+# ----------------------------------------------------------------------
+
+def _write_arxiv_fixture(base, n=12, e=30, d=5):
+    """Tiny hand-built ogbn-arxiv raw layout (csv.gz, OGB format)."""
+    import gzip
+    rng = np.random.RandomState(0)
+    raw = os.path.join(base, "ogbn_arxiv", "raw")
+    split = os.path.join(base, "ogbn_arxiv", "split", "time")
+    os.makedirs(raw), os.makedirs(split)
+
+    def w(path, arr, fmt):
+        with gzip.open(path, "wt") as f:
+            for r in np.atleast_2d(arr):
+                f.write(",".join(fmt % v for v in np.atleast_1d(r)) + "\n")
+
+    edges = rng.randint(0, n, (e, 2))
+    x = rng.randn(n, d).astype(np.float32)
+    y = rng.randint(0, 4, n)
+    w(os.path.join(raw, "edge.csv.gz"), edges, "%d")
+    w(os.path.join(raw, "node-feat.csv.gz"), x, "%.6f")
+    w(os.path.join(raw, "node-label.csv.gz"), y[:, None], "%d")
+    idx = rng.permutation(n)
+    for part, sl in (("train", idx[:6]), ("valid", idx[6:9]),
+                     ("test", idx[9:])):
+        w(os.path.join(split, f"{part}.csv.gz"), sl[:, None], "%d")
+    return edges, x, y
+
+
+def test_ogbn_arxiv_loader_and_npz_cache():
+    from graphax.data.loaders import load_ogbn_arxiv
+
+    with tempfile.TemporaryDirectory() as td:
+        edges, x, y = _write_arxiv_fixture(td)
+        row, col, xx, yy, nc, masks = load_ogbn_arxiv(td)
+        assert nc == 40
+        np.testing.assert_array_equal(row, edges[:, 0])
+        np.testing.assert_allclose(xx, x, atol=1e-5)
+        np.testing.assert_array_equal(yy, y)
+        assert masks[0].sum() == 6 and masks[1].sum() == 3
+        # second load comes from the npz cache and must be identical
+        cache = os.path.join(td, "ogbn_arxiv", "processed_graphax.npz")
+        assert os.path.exists(cache)
+        row2, col2, x2, y2, _, masks2 = load_ogbn_arxiv(td)
+        np.testing.assert_array_equal(row2, row)
+        np.testing.assert_array_equal(col2, col)
+        np.testing.assert_allclose(x2, xx, atol=1e-6)
+        for a, b in zip(masks, masks2):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_fetch_data_manifest_layout():
+    """--list output destinations must match what the loaders search for."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "fetch_data.py"),
+         "--list", "--data-dir", "DD"],
+        capture_output=True, text=True, check=True).stdout
+    dests = [line.split("\t")[1] for line in out.strip().splitlines()]
+    assert "DD/Cora/raw/ind.cora.x" in dests
+    assert "DD/Computers/raw/amazon_electronics_computers.npz" in dests
+    assert "DD/CoauthorCS/raw/ms_academic_cs.npz" in dests
+    assert "DD/cornell/raw/out1_graph_edges.txt" in dests
+    assert "DD/cornell/raw/cornell_split_0.6_0.2_0.npz" in dests
+    assert any("__unzip__:ogbn_arxiv" in d for d in dests)
+    assert "DD/MNIST/raw/train-images-idx3-ubyte.gz" in dests
+
+
+def _tiny_resnet_state_dict(stages=(1, 1), width=4):
+    """Random torchvision-layout state dict for a 2-stage bottleneck net."""
+    import torch
+    torch.manual_seed(0)
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        sd[name + ".weight"] = torch.randn(cout, cin, k, k) * 0.2
+
+    def bn(name, c):
+        sd[name + ".weight"] = torch.rand(c) + 0.5
+        sd[name + ".bias"] = torch.randn(c) * 0.1
+        sd[name + ".running_mean"] = torch.randn(c) * 0.1
+        sd[name + ".running_var"] = torch.rand(c) + 0.5
+
+    conv("conv1", width, 3, 7), bn("bn1", width)
+    cin = width
+    for s, blocks in enumerate(stages):
+        planes, cout = width * 2 ** s, width * 4 * 2 ** s
+        for i in range(blocks):
+            p = f"layer{s + 1}.{i}"
+            conv(p + ".conv1", planes, cin, 1), bn(p + ".bn1", planes)
+            conv(p + ".conv2", planes, planes, 3), bn(p + ".bn2", planes)
+            conv(p + ".conv3", cout, planes, 1), bn(p + ".bn3", cout)
+            if i == 0:
+                conv(p + ".downsample.0", cout, cin, 1)
+                bn(p + ".downsample.1", cout)
+            cin = cout
+    return sd
+
+
+def _torch_trunk_forward(x_nhwc, sd, stages):
+    """Independent torch forward of the same trunk (NCHW)."""
+    import torch
+    import torch.nn.functional as F
+
+    def conv(x, name, stride=1):
+        w = sd[name + ".weight"]
+        return F.conv2d(x, w, stride=stride, padding=w.shape[-1] // 2)
+
+    def bn(x, name):
+        return F.batch_norm(x, sd[name + ".running_mean"],
+                            sd[name + ".running_var"], sd[name + ".weight"],
+                            sd[name + ".bias"], training=False)
+
+    x = torch.from_numpy(x_nhwc).permute(0, 3, 1, 2)
+    out = F.relu(bn(conv(x, "conv1", 2), "bn1"))
+    out = F.max_pool2d(out, 3, stride=2, padding=1)
+    for s in range(len(stages)):
+        for i in range(stages[s]):
+            p, stride = f"layer{s + 1}.{i}", 2 if (s > 0 and i == 0) else 1
+            h = F.relu(bn(conv(out, p + ".conv1"), p + ".bn1"))
+            h = F.relu(bn(conv(h, p + ".conv2", stride), p + ".bn2"))
+            h = bn(conv(h, p + ".conv3"), p + ".bn3")
+            if (p + ".downsample.0.weight") in sd:
+                sc = bn(conv(out, p + ".downsample.0", stride),
+                        p + ".downsample.1")
+            else:
+                sc = out
+            out = F.relu(h + sc)
+    return out.permute(0, 2, 3, 1).numpy()
+
+
+def test_resnet_trunk_matches_torch():
+    """JAX trunk == independent torch forward on a random tiny state dict
+    (pins the OIHW/NHWC conversion, torch padding, BN eps, maxpool)."""
+    import torch
+
+    from graphax.data.extractors import load_torch_state_dict, resnet_trunk
+
+    stages = (1, 1)
+    sd = _tiny_resnet_state_dict(stages)
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    ref = _torch_trunk_forward(x, sd, stages)
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "resnet101-tiny.pth")
+        torch.save(sd, path)
+        params = load_torch_state_dict(path)
+    got = np.asarray(resnet_trunk(x, params, stages=stages,
+                                  out_stage=len(stages)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_image_extractor_checkpoint_routing():
+    """Extractor uses the staged resnet101 .pth and projects to feat_dim."""
+    import torch
+
+    from graphax.data.extractors import ImageFeatureExtractor
+
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "checkpoints")
+        os.makedirs(ck)
+        torch.save(_tiny_resnet_state_dict((1, 1)), 
+                   os.path.join(ck, "resnet101-tiny.pth"))
+        ex = ImageFeatureExtractor(8, data_dir=td)
+        assert ex.using_real_weights  # discovered the staged .pth
+        # (full-depth forward parity is pinned in
+        # test_resnet_trunk_matches_torch; here check discovery + fallback)
+        ex2 = ImageFeatureExtractor(8, data_dir=None, seed=0)
+        assert not ex2.using_real_weights
+        out = ex2(np.random.RandomState(0).rand(3, 14, 14, 3)
+                  .astype(np.float32))
+        assert out.shape == (3, 196, 8)
+
+
+def test_text_extractor_fallback_deterministic():
+    from graphax.data.extractors import TextFeatureExtractor
+
+    ex = TextFeatureExtractor(16, vocab_size=50, seed=3)
+    ids = np.array([[1, 2, 3], [4, 5, 49]])
+    a, b = ex(ids), TextFeatureExtractor(16, vocab_size=50, seed=3)(ids)
+    assert a.shape == (2, 3, 16)
+    np.testing.assert_allclose(a, b)
