@@ -262,17 +262,20 @@ def make_transformer(cfg, in_dim: int) -> DiffusionFunction:
             else:
                 ax = windowed_attention_ax(cfg, params["att"], g, x,
                                            dense_weight=dense_w)
-        elif (fstate.fast_attention and g.tiles is not None
-                and fused_path_applicable(cfg)):
-            from graphax.kernels.pallas_attention import \
-                fused_attention_ax_pallas
+        elif g.tiles is not None and fused_path_applicable(cfg, g.tiles_t):
+            from graphax.kernels.pallas_attention import (
+                fused_attention_ax_pallas, pallas_fwd_supported,
+            )
 
-            ax = fused_attention_ax_pallas(cfg, params["att"], g.tiles, x,
-                                           edge_weight=g.edge_weight,
-                                           tiles_t=g.tiles_t)
-        elif g.tiles is not None and fused_path_applicable(cfg):
-            ax = fused_attention_ax(cfg, params["att"], g.tiles, x,
-                                    edge_weight=g.edge_weight)
+            if fstate.fast_attention and pallas_fwd_supported(cfg,
+                                                              g.tiles_t):
+                ax = fused_attention_ax_pallas(cfg, params["att"], g.tiles,
+                                               x, edge_weight=g.edge_weight,
+                                               tiles_t=g.tiles_t)
+            else:
+                ax = fused_attention_ax(cfg, params["att"], g.tiles, x,
+                                        edge_weight=g.edge_weight,
+                                        tiles_t=g.tiles_t)
         else:
             attention, (v, _) = attention_fn(params, fstate, x, fstate.y)
             ax = multiply_attention(params["att"], cfg, g, x, attention, v)

@@ -21,10 +21,17 @@ Semantics match the XLA paths exactly: softmax shifts by the per-segment
 max, squareplus by the global max (reference `src/utils.py:129-140`), both
 normalize with a ``+1e-16`` denominator guard.
 
-Differentiation: wrapped in ``jax.custom_vjp`` whose backward replays the
-XLA fused path's vjp — correct everywhere, but adds one XLA forward per
-backward step, so the dispatcher only routes here for ``train=False``
-forwards (see `functions/transformer.py` + `FuncState.fast_attention`).
+Differentiation: ``jax.custom_vjp``. The GRAND-nl default config
+(scaled_dot, row softmax) has a full Pallas backward (B1/B2/B3 below);
+other configs replay the XLA fused path's vjp — correct everywhere, at the
+cost of one extra XLA forward per backward step (dispatch:
+`functions/transformer.py` + `FuncState.fast_attention`).
+
+Round-2 coverage (VERDICT #6): col-normalized softmax/squareplus
+(``attention_norm_idx=1``, the Cora/Citeseer/CoauthorCS tuned configs) via
+transpose-layout denominators; Beltrami product-kernel scores via the
+combined [D, 2A] K-weight; flash heads cap replaced by a VMEM estimate;
+squareplus flash as a two-pass (global shift precompute) sweep.
 
 Replaces: per-NFE SDDMM+softmax+SpMM of the reference GRAND-nl hot loop
 (`src/function_transformer_attention.py:159-267`).
@@ -45,8 +52,50 @@ from graphax.kernels.pallas_tiled import (
 )
 
 NEG = -1e30
+SCAL_N = 8  # scal vector width: [ov2, inv2l2, ov2_p, inv2l2_p, gshift, pad...]
 EPS = 1e-16
 COS_EPS = 1e-5
+
+
+# ----------------------------------------------------------------------
+# Shared per-block score math (K1 / flash / gmax kernels)
+# ----------------------------------------------------------------------
+
+def _score_math(att_type, heads, q_t, k_t, scal_ref):
+    """[A, Eb] projected q/k → [H, Eb] scores. ``beltrami_exp`` interprets
+    the projections as the concatenation [feat-A | pos-A] built by the
+    combined-weight trick in ``_prep`` (kx = feat@Kx and kp = pos@Kp are
+    both linear in the full state, so one [D, 2A] matmul serves both) and
+    multiplies the two Gaussian kernels
+    (`src/function_transformer_attention.py:205-222`)."""
+    a = q_t.shape[0]
+    if att_type == "beltrami_exp":
+        half = a // 2
+        d_k = half // heads
+        qx = q_t[:half].reshape(heads, d_k, -1)
+        qp = q_t[half:].reshape(heads, d_k, -1)
+        kx = k_t[:half].reshape(heads, d_k, -1)
+        kp = k_t[half:].reshape(heads, d_k, -1)
+        sq_x = jnp.sum((qx - kx) ** 2, axis=1)
+        sq_p = jnp.sum((qp - kp) ** 2, axis=1)
+        return (scal_ref[0, 0] * jnp.exp(-sq_x * scal_ref[0, 1])
+                * scal_ref[0, 2] * jnp.exp(-sq_p * scal_ref[0, 3]))
+    d_k = a // heads
+    q_h = q_t.reshape(heads, d_k, -1)
+    k_h = k_t.reshape(heads, d_k, -1)
+    if att_type == "scaled_dot":                           # q pre-scaled
+        return jnp.sum(q_h * k_h, axis=1)                  # [H, Eb]
+    if att_type in ("cosine_sim", "pearson"):
+        if att_type == "pearson":
+            q_h = q_h - q_h.mean(axis=1, keepdims=True)
+            k_h = k_h - k_h.mean(axis=1, keepdims=True)
+        qn = jnp.maximum(jnp.sqrt(jnp.sum(q_h * q_h, axis=1)), COS_EPS)
+        kn = jnp.maximum(jnp.sqrt(jnp.sum(k_h * k_h, axis=1)), COS_EPS)
+        return jnp.sum(q_h * k_h, axis=1) / (qn * kn)
+    if att_type == "exp_kernel":
+        sq = jnp.sum((q_h - k_h) ** 2, axis=1)
+        return scal_ref[0, 0] * jnp.exp(-sq * scal_ref[0, 1])
+    raise ValueError(att_type)
 
 
 # ----------------------------------------------------------------------
@@ -75,24 +124,7 @@ def _make_scores_kernel(att_type: str, reweight: bool, heads: int):
             preferred_element_type=jnp.float32)            # [A, Eb]
         k_t = k_t + bk_ref[0][:, None].astype(jnp.float32)
 
-        a = q_t.shape[0]
-        d_k = a // heads
-        q_h = q_t.reshape(heads, d_k, eb)
-        k_h = k_t.reshape(heads, d_k, eb)
-        if att_type == "scaled_dot":                       # q pre-scaled
-            s = jnp.sum(q_h * k_h, axis=1)                 # [H, Eb]
-        elif att_type in ("cosine_sim", "pearson"):
-            if att_type == "pearson":
-                q_h = q_h - q_h.mean(axis=1, keepdims=True)
-                k_h = k_h - k_h.mean(axis=1, keepdims=True)
-            qn = jnp.maximum(jnp.sqrt(jnp.sum(q_h * q_h, axis=1)), COS_EPS)
-            kn = jnp.maximum(jnp.sqrt(jnp.sum(k_h * k_h, axis=1)), COS_EPS)
-            s = jnp.sum(q_h * k_h, axis=1) / (qn * kn)
-        elif att_type == "exp_kernel":
-            sq = jnp.sum((q_h - k_h) ** 2, axis=1)
-            s = scal_ref[0, 0] * jnp.exp(-sq * scal_ref[0, 1])
-        else:
-            raise ValueError(att_type)
+        s = _score_math(att_type, heads, q_t, k_t, scal_ref)
 
         if reweight:
             s = s * wb_ref[0, 0][None, :].astype(jnp.float32)
@@ -130,7 +162,7 @@ def _scores_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
             pl.BlockSpec((1, a), lambda i, *_: (0, 0)),
             pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 2), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, SCAL_N), lambda i, *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0)),
@@ -222,55 +254,70 @@ def _norm_call(square_plus, scores, shift, local_row, tile_idx,
 # K3: head-mean attention SpMM
 # ----------------------------------------------------------------------
 
-def _attspmm_kernel(tidx_ref, first_ref, e_ref, denom_ref, xg_ref, lrow_ref,
-                    o_ref):
-    b = pl.program_id(0)
-    lrow = lrow_ref[0, 0]
-    eb = lrow.shape[0]
-    tile = o_ref.shape[1]
-    oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
-            == lrow[None, :])
-    oh = oh_b.astype(jnp.float32)
-    mask_e = lrow < tile
+def _make_attspmm_kernel(per_edge_denom: bool):
+    """``per_edge_denom``: the denominator arrives per edge slot [H, Eb]
+    (col-normalized softmax, ``attention_norm_idx=1``) instead of as a row
+    tile table to broadcast through the one-hot."""
+    def kernel(tidx_ref, first_ref, e_ref, denom_ref, xg_ref, lrow_ref,
+               o_ref):
+        b = pl.program_id(0)
+        lrow = lrow_ref[0, 0]
+        eb = lrow.shape[0]
+        tile = o_ref.shape[1]
+        oh_b = (jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
+                == lrow[None, :])
+        oh = oh_b.astype(jnp.float32)
+        mask_e = lrow < tile
 
-    denom_e = jax.lax.dot_general(
-        denom_ref[0], oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [H, Eb]
-    # zero-select, not +EPS: under the global max shift a row far below the
-    # global max has a tiny-but-correct denominator that a fixed epsilon
-    # would swamp (padded slots have denom_e == 0 via the all-zero one-hot)
-    a = e_ref[0] / jnp.where(denom_e > 0, denom_e, 1.0)
-    w = jnp.where(mask_e, jnp.mean(a, axis=0), 0.0)        # [Eb]
-    vals = xg_ref[0] * w[:, None].astype(xg_ref.dtype)
-    partial = jax.lax.dot_general(
-        oh.astype(xg_ref.dtype), vals, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [tile, D]
+        if per_edge_denom:
+            denom_e = denom_ref[0]                         # [H, Eb]
+        else:
+            denom_e = jax.lax.dot_general(
+                denom_ref[0], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [H, Eb]
+        # zero-select, not +EPS: under the global max shift a row far below
+        # the global max has a tiny-but-correct denominator that a fixed
+        # epsilon would swamp (padded slots have denom_e == 0)
+        a = e_ref[0] / jnp.where(denom_e > 0, denom_e, 1.0)
+        w = jnp.where(mask_e, jnp.mean(a, axis=0), 0.0)    # [Eb]
+        vals = xg_ref[0] * w[:, None].astype(xg_ref.dtype)
+        partial = jax.lax.dot_general(
+            oh.astype(xg_ref.dtype), vals, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [tile, D]
 
-    @pl.when(first_ref[b] == 1)
-    def _init():
-        o_ref[0] = partial
+        @pl.when(first_ref[b] == 1)
+        def _init():
+            o_ref[0] = partial
 
-    @pl.when(first_ref[b] == 0)
-    def _acc():
-        o_ref[0] += partial
+        @pl.when(first_ref[b] == 0)
+        def _acc():
+            o_ref[0] += partial
+
+    return kernel
 
 
-def _attspmm_call(e, denom, xg, local_row, tile_idx, num_tiles, tile):
+def _attspmm_call(e, denom, xg, local_row, tile_idx, num_tiles, tile,
+                  per_edge_denom: bool = False):
     b, eb, d = xg.shape
     heads = e.shape[1]
+    if per_edge_denom:
+        denom_spec = pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0))
+    else:
+        denom_spec = pl.BlockSpec((1, heads, tile),
+                                  lambda i, t, f: (t[i], 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, heads, eb), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, heads, tile), lambda i, t, f: (t[i], 0, 0)),
+            denom_spec,
             pl.BlockSpec((1, eb, d), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile, d), lambda i, t, f: (t[i], 0, 0)),
     )
     return pl.pallas_call(
-        _attspmm_kernel,
+        _make_attspmm_kernel(per_edge_denom),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, tile, d), jnp.float32),
         interpret=_interpret(),
@@ -285,9 +332,11 @@ def _attspmm_call(e, denom, xg, local_row, tile_idx, num_tiles, tile):
 # and the per-head weighted-value accumulators, and emit the normalized
 # head-mean on each tile's last block. One sweep over the gathered sources
 # instead of three, no E-sized score round-trips through HBM, one kernel
-# launch per block instead of three. Requires the online-softmax recurrence,
-# so squareplus (global-max shift, `src/utils.py:129-140`) and H > 4 (VMEM
-# for H per-head [tile, D] accumulators) stay on the 3-kernel path.
+# launch per block instead of three. Softmax uses the online recurrence;
+# squareplus (shift-variant, global-max shift — `src/utils.py:129-140`)
+# precomputes the shift with the max-only kernel and sweeps once with it
+# fixed. Head count is bounded only by the VMEM accumulator estimate
+# (`flash_applicable`); col normalization stays on the 3-kernel path.
 # ----------------------------------------------------------------------
 
 
@@ -298,7 +347,13 @@ def last_flags(tile_idx):
         jnp.ones((1,), jnp.int32)])
 
 
-def _make_flash_kernel(att_type: str, reweight: bool, heads: int):
+def _make_flash_kernel(att_type: str, reweight: bool, heads: int,
+                       square_plus: bool = False):
+    """Single-pass kernel. Softmax mode keeps the online-max recurrence;
+    squareplus mode (shift-VARIANT, so the reference's global-max shift is
+    semantically load-bearing — `src/utils.py:129-140`) takes the
+    precomputed global shift in ``scal_ref[0, 4]`` (from ``_gmax_call``)
+    and needs no rescaling."""
     def kernel(tidx_ref, first_ref, last_ref, q_ref, xg_ref, wk_ref, bk_ref,
                wb_ref, lrow_ref, scal_ref, o_ref, m_ref, d_ref, acc_ref):
         b = pl.program_id(0)
@@ -320,57 +375,50 @@ def _make_flash_kernel(att_type: str, reweight: bool, heads: int):
             preferred_element_type=jnp.float32)            # [A, Eb]
         k_t = k_t + bk_ref[0][:, None].astype(jnp.float32)
 
-        a = q_t.shape[0]
-        d_k = a // heads
-        q_h = q_t.reshape(heads, d_k, eb)
-        k_h = k_t.reshape(heads, d_k, eb)
-        if att_type == "scaled_dot":                       # q pre-scaled
-            s = jnp.sum(q_h * k_h, axis=1)                 # [H, Eb]
-        elif att_type in ("cosine_sim", "pearson"):
-            if att_type == "pearson":
-                q_h = q_h - q_h.mean(axis=1, keepdims=True)
-                k_h = k_h - k_h.mean(axis=1, keepdims=True)
-            qn = jnp.maximum(jnp.sqrt(jnp.sum(q_h * q_h, axis=1)), COS_EPS)
-            kn = jnp.maximum(jnp.sqrt(jnp.sum(k_h * k_h, axis=1)), COS_EPS)
-            s = jnp.sum(q_h * k_h, axis=1) / (qn * kn)
-        elif att_type == "exp_kernel":
-            sq = jnp.sum((q_h - k_h) ** 2, axis=1)
-            s = scal_ref[0, 0] * jnp.exp(-sq * scal_ref[0, 1])
-        else:
-            raise ValueError(att_type)
+        s = _score_math(att_type, heads, q_t, k_t, scal_ref)
         if reweight:
             s = s * wb_ref[0, 0][None, :].astype(jnp.float32)
         s = jnp.where(mask_e, s, NEG)
 
-        # ---- block row-max, online-softmax state update ----
-        rows = []
-        for h in range(heads):
-            masked = jnp.where(oh_b, s[h][None, :], NEG)
-            rows.append(jnp.max(masked, axis=1))
-        bmax = jnp.stack(rows)                             # [H, tile]
+        if square_plus:
+            @pl.when(first_ref[b] == 1)
+            def _init_sp():
+                d_ref[...] = jnp.zeros_like(d_ref)
+                acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        @pl.when(first_ref[b] == 1)
-        def _init():
-            m_ref[...] = bmax
-            d_ref[...] = jnp.zeros_like(d_ref)
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+            z = s - scal_ref[0, 4]
+            e = (z + jnp.sqrt(z * z + 4.0)) / 2.0
+            e = jnp.where(mask_e, e, 0.0)
+        else:
+            # ---- block row-max, online-softmax state update ----
+            rows = []
+            for h in range(heads):
+                masked = jnp.where(oh_b, s[h][None, :], NEG)
+                rows.append(jnp.max(masked, axis=1))
+            bmax = jnp.stack(rows)                         # [H, tile]
 
-        @pl.when(first_ref[b] == 0)
-        def _rescale():
-            m_new = jnp.maximum(m_ref[...], bmax)
-            # rows not yet visited have m == NEG on both sides: exp(0)=1 is
-            # harmless (d, acc are 0 there)
-            r = jnp.exp(m_ref[...] - m_new)                # [H, tile]
-            d_ref[...] = d_ref[...] * r
-            acc_ref[...] = acc_ref[...] * r[:, :, None]
-            m_ref[...] = m_new
+            @pl.when(first_ref[b] == 1)
+            def _init():
+                m_ref[...] = bmax
+                d_ref[...] = jnp.zeros_like(d_ref)
+                acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        m = m_ref[...]                                     # [H, tile]
-        shift_e = jax.lax.dot_general(
-            m, oh32, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [H, Eb]
-        e = jnp.exp(s - shift_e)                           # pads: exp(NEG)=0
-        e = jnp.where(mask_e, e, 0.0)
+            @pl.when(first_ref[b] == 0)
+            def _rescale():
+                m_new = jnp.maximum(m_ref[...], bmax)
+                # rows not yet visited have m == NEG on both sides:
+                # exp(0)=1 is harmless (d, acc are 0 there)
+                r = jnp.exp(m_ref[...] - m_new)            # [H, tile]
+                d_ref[...] = d_ref[...] * r
+                acc_ref[...] = acc_ref[...] * r[:, :, None]
+                m_ref[...] = m_new
+
+            m = m_ref[...]                                 # [H, tile]
+            shift_e = jax.lax.dot_general(
+                m, oh32, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [H, Eb]
+            e = jnp.exp(s - shift_e)                       # pads: exp(NEG)=0
+            e = jnp.where(mask_e, e, 0.0)
         d_ref[...] = d_ref[...] + jax.lax.dot_general(
             e, oh32, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # [H, tile]
@@ -389,7 +437,8 @@ def _make_flash_kernel(att_type: str, reweight: bool, heads: int):
 
 
 def _flash_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
-                local_row, tile_idx, scal, num_tiles, tile):
+                local_row, tile_idx, scal, num_tiles, tile,
+                square_plus=False):
     b, eb, d = xg.shape
     a = q_tiles.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -402,7 +451,7 @@ def _flash_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
             pl.BlockSpec((1, a), lambda i, *_: (0, 0)),
             pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 2), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, SCAL_N), lambda i, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile, d), lambda i, t, f, l: (t[i], 0, 0)),
         scratch_shapes=[
@@ -412,7 +461,7 @@ def _flash_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
         ],
     )
     return pl.pallas_call(
-        _make_flash_kernel(att_type, reweight, heads),
+        _make_flash_kernel(att_type, reweight, heads, square_plus),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, tile, d), jnp.float32),
         interpret=_interpret(),
@@ -420,11 +469,79 @@ def _flash_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
       wk, bk, wb[:, None], local_row[:, None], scal)
 
 
-FLASH_MAX_HEADS = 4
+def _make_gmax_kernel(att_type: str, reweight: bool, heads: int):
+    """Score recompute emitting ONLY the per-(block, head) max — the cheap
+    first pass of the two-pass squareplus flash (the global shift must be
+    known before normalization; no E-sized score write)."""
+    def kernel(tidx_ref, q_ref, xg_ref, wk_ref, bk_ref, wb_ref, lrow_ref,
+               scal_ref, bmax_out):
+        lrow = lrow_ref[0, 0]
+        eb = lrow.shape[0]
+        tile = q_ref.shape[1]
+        oh = ((jax.lax.broadcasted_iota(jnp.int32, (tile, eb), 0)
+               == lrow[None, :])).astype(q_ref.dtype)
+        mask_e = (lrow < tile)[None, :]
+        q_t = jax.lax.dot_general(
+            q_ref[0], oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        k_t = jax.lax.dot_general(
+            wk_ref[:], xg_ref[0], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        k_t = k_t + bk_ref[0][:, None].astype(jnp.float32)
+        s = _score_math(att_type, heads, q_t, k_t, scal_ref)
+        if reweight:
+            s = s * wb_ref[0, 0][None, :].astype(jnp.float32)
+        s = jnp.where(mask_e, s, NEG)
+        bmax_out[0] = jnp.max(s, axis=1, keepdims=True).T  # [1, H]
+
+    return kernel
 
 
-def flash_applicable(cfg) -> bool:
-    return (not cfg.square_plus) and cfg.heads <= FLASH_MAX_HEADS
+def _gmax_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
+               local_row, tile_idx, scal, num_tiles, tile):
+    b, eb, d = xg.shape
+    a = q_tiles.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, tile, a), lambda i, t: (t[i], 0, 0)),
+            pl.BlockSpec((1, eb, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((wk.shape[0], a), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, a), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, eb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, SCAL_N), lambda i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, heads), lambda i, *_: (i, 0, 0)),
+    )
+    bmax = pl.pallas_call(
+        _make_gmax_kernel(att_type, reweight, heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1, heads), jnp.float32),
+        interpret=_interpret(),
+    )(tile_idx, q_tiles, xg, wk, bk, wb[:, None], local_row[:, None], scal)
+    gmax = jnp.max(bmax)
+    return jnp.where(gmax <= NEG / 2, 0.0, gmax)
+
+
+# VMEM budget for the flash accumulators ([H, tile] m/d + [H, tile, D] acc,
+# f32) — stays well inside the ~16 MB/core VMEM next to the xg/q blocks
+FLASH_VMEM_BYTES = 6 * 1024 * 1024
+
+
+def flash_applicable(cfg, d: int = None, tile: int = 128) -> bool:
+    """Single-pass (softmax) / two-pass (squareplus, global shift
+    precomputed by ``_gmax_call``) flash coverage. Col-normalized softmax
+    (``attention_norm_idx=1``) cannot finalize a row tile in row-streaming
+    order — it keeps the 3-kernel path."""
+    if cfg.attention_norm_idx != 0:
+        return False
+    if d is not None:
+        vmem = cfg.heads * tile * 4 * (d + 2)
+        if vmem > FLASH_VMEM_BYTES:
+            return False
+    return True
 
 
 # ----------------------------------------------------------------------
@@ -699,6 +816,19 @@ def _bwd3_call(heads, qg, gg, k_tiles, x_tiles, se, de, re, local_row,
       local_row[:, None])
 
 
+def pallas_fwd_supported(cfg, tiles_t=None) -> bool:
+    """Configs the streaming Pallas forward covers (others use the XLA
+    fused block-layout path). ``attention_norm_idx=1`` needs the transpose
+    layout for its col denominators."""
+    if cfg.mix_features or cfg.multi_modal:
+        return False
+    if cfg.attention_norm_idx != 0 and (
+            tiles_t is None
+            or getattr(tiles_t, "perm_from_row", None) is None):
+        return False
+    return True
+
+
 def pallas_bwd_supported(cfg) -> bool:
     """Configs whose backward runs as Pallas kernels (others keep the
     XLA-replay backward — still correct, one extra XLA forward)."""
@@ -720,62 +850,116 @@ def _f0(a):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None):
-    """``t_shape = (num_tiles_t, tile_t)`` enables the Pallas backward on
-    the transpose layout; None keeps the XLA-replay backward."""
+def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
+                pallas_bwd=False):
+    """``t_shape = (num_tiles_t, tile_t)`` describes the transpose layout —
+    needed by the Pallas backward (``pallas_bwd=True``) and by the
+    col-normalized forward (``attention_norm_idx=1``, whose denominators
+    reduce on the transpose layout). Without it: row-normalized forward with
+    the XLA-replay backward."""
     from graphax.kernels.fused_attention import fused_attention_ax
     from graphax.kernels.pallas_tiled import _spmm_call
     from graphax.kernels.tiles import RowTiles
     from graphax.utils.params import linear_apply
 
     heads = cfg.heads
-    pallas_bwd = t_shape is not None
+    beltrami = cfg.beltrami and cfg.attention_type == "exp_kernel"
+    att_type_eff = "beltrami_exp" if beltrami else cfg.attention_type
+    norm1 = cfg.attention_norm_idx != 0
+    if norm1 or pallas_bwd:
+        num_tiles_t, tile_t = t_shape
+
+    def _pad_scal(vals):
+        s = jnp.zeros((1, SCAL_N), jnp.float32)
+        for i, v in enumerate(vals):
+            s = s.at[0, i].set(v)
+        return s
 
     def _prep(att_params, x, edge_weight, t_slot, t_mask, t_col):
-        q = linear_apply(att_params["Q"], x)
-        if cfg.attention_type == "scaled_dot":
-            q = q / jnp.sqrt(jnp.asarray(cfg.attention_dim // heads,
-                                         jnp.float32)).astype(q.dtype)
-        q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
-        xg = x[t_col]
-        wk = att_params["K"]["w"].astype(x.dtype)
-        bk = att_params["K"]["b"].astype(jnp.float32)[None, :]
+        if beltrami:
+            # combined-weight trick: kx = feat@Kx and kp = pos@Kp are both
+            # linear in the full state, so one [D, 2A] weight serves both
+            # and the kernels keep their single-matmul dataflow
+            fh, ph = cfg.feat_hidden_dim, cfg.pos_enc_hidden_dim
+            featx = jnp.concatenate([x[:, :fh], x[:, fh + ph:]], axis=1)
+            posx = x[:, fh:fh + ph]
+            q = jnp.concatenate([linear_apply(att_params["Qx"], featx),
+                                 linear_apply(att_params["Qp"], posx)],
+                                axis=-1)
+            q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
+            xg = x[t_col]
+            awx = att_params["Kx"]["w"].astype(x.dtype)
+            awp = att_params["Kp"]["w"].astype(x.dtype)
+            a_att = awx.shape[1]
+            d_full = x.shape[1]
+            wk = jnp.zeros((d_full, 2 * a_att), x.dtype)
+            wk = wk.at[:fh, :a_att].set(awx[:fh])
+            wk = wk.at[fh + ph:, :a_att].set(awx[fh:])
+            wk = wk.at[fh:fh + ph, a_att:].set(awp)
+            bk = jnp.concatenate([att_params["Kx"]["b"],
+                                  att_params["Kp"]["b"]]) \
+                .astype(jnp.float32)[None, :]
+            scal = _pad_scal([
+                att_params["output_var_x"] ** 2,
+                1.0 / (2.0 * att_params["lengthscale_x"] ** 2),
+                att_params["output_var_p"] ** 2,
+                1.0 / (2.0 * att_params["lengthscale_p"] ** 2)])
+        else:
+            q = linear_apply(att_params["Q"], x)
+            if cfg.attention_type == "scaled_dot":
+                q = q / jnp.sqrt(jnp.asarray(cfg.attention_dim // heads,
+                                             jnp.float32)).astype(q.dtype)
+            q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
+            xg = x[t_col]
+            wk = att_params["K"]["w"].astype(x.dtype)
+            bk = att_params["K"]["b"].astype(jnp.float32)[None, :]
+            if cfg.attention_type == "exp_kernel":
+                if "_ov2" in att_params:
+                    ov2 = att_params["_ov2"]
+                    inv2l2 = att_params["_inv2l2"]
+                else:
+                    ov2 = att_params["output_var"] ** 2
+                    inv2l2 = 1.0 / (2.0 * att_params["lengthscale"] ** 2)
+                scal = _pad_scal([ov2, inv2l2])
+            else:
+                scal = jnp.zeros((1, SCAL_N), jnp.float32)
         if cfg.reweight_attention and edge_weight is not None:
             wb = jnp.where(t_mask, edge_weight[t_slot], 0) \
                 .astype(jnp.float32)
         else:
             wb = jnp.zeros(t_slot.shape, jnp.float32)
-        if cfg.attention_type == "exp_kernel":
-            if "_ov2" in att_params:
-                ov2 = att_params["_ov2"]
-                inv2l2 = att_params["_inv2l2"]
-            else:
-                ov2 = att_params["output_var"] ** 2
-                inv2l2 = 1.0 / (2.0 * att_params["lengthscale"] ** 2)
-            scal = jnp.stack([ov2, inv2l2]).reshape(1, 2) \
-                .astype(jnp.float32)
-        else:
-            scal = jnp.zeros((1, 2), jnp.float32)
         return q_tiles, xg, wk, bk, wb, scal
 
     def _forward(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-                 t_tidx, allow_flash=True, want_residuals=False):
+                 t_tidx, tt=None, allow_flash=True, want_residuals=False):
         q_tiles, xg, wk, bk, wb, scal = _prep(att_params, x, edge_weight,
                                               t_slot, t_mask, t_col)
         present = presence_scale(t_tidx, num_tiles) > 0
         residuals = None
-        if flash_applicable(cfg) and allow_flash and not want_residuals:
+        use_flash = (allow_flash and not want_residuals and not norm1
+                     and flash_applicable(cfg, d=x.shape[1], tile=tile))
+        if use_flash:
+            if cfg.square_plus:
+                # squareplus is shift-variant: precompute the global shift
+                # in a cheap max-only pass, then one fixed-shift sweep
+                gshift = _gmax_call(
+                    att_type_eff, bool(cfg.reweight_attention), heads,
+                    q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal,
+                    num_tiles, tile)
+                scal = scal.at[0, 4].set(gshift)
             out = _flash_call(
-                cfg.attention_type, bool(cfg.reweight_attention), heads,
+                att_type_eff, bool(cfg.reweight_attention), heads,
                 q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal, num_tiles,
-                tile)
+                tile, square_plus=bool(cfg.square_plus))
         else:
             scores, rmax = _scores_call(
-                cfg.attention_type, bool(cfg.reweight_attention), heads,
+                att_type_eff, bool(cfg.reweight_attention), heads,
                 q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal, num_tiles,
                 tile)
             rmax = jnp.where(present[:, None, None], rmax, NEG)
-            if cfg.square_plus:
+            if cfg.square_plus or norm1:
+                # norm1 softmax also needs a shift constant across each col
+                # group — per-row-tile shifts would break shift-invariance
                 gmax = jnp.max(rmax)
                 gmax = jnp.where(gmax <= NEG / 2, 0.0, gmax)
                 shift = jnp.full_like(rmax, gmax)
@@ -784,21 +968,82 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None):
 
             e, denom = _norm_call(bool(cfg.square_plus), scores, shift,
                                   t_lrow, t_tidx, num_tiles, tile)
-            out = _attspmm_call(e, denom, xg, t_lrow, t_tidx, num_tiles,
-                                tile)
-            residuals = (scores, shift, denom)
+            if norm1:
+                # col denominators: move e onto the transpose layout with
+                # the static slot permutation (gather, never a scatter),
+                # reduce per col, gather back per edge by col index
+                tt_mask, tt_col, tt_lrow, tt_tidx, perm = tt
+                b_r, h_r, eb_r = e.shape
+                e_flat = jnp.moveaxis(e, 1, 2).reshape(b_r * eb_r, h_r)
+                e_t = e_flat[perm].reshape(tt_mask.shape + (h_r,))
+                e_t = jnp.where(tt_mask[..., None], e_t, 0.0)
+                oh_t = jax.nn.one_hot(tt_lrow, tile_t, dtype=jnp.float32)
+                part = jnp.einsum("ber,beh->brh", oh_t, e_t,
+                                  preferred_element_type=jnp.float32)
+                dn = jax.ops.segment_sum(part, tt_tidx,
+                                         num_segments=num_tiles_t,
+                                         indices_are_sorted=True)
+                denom_n = dn.reshape(num_tiles_t * tile_t, h_r)[:num_nodes]
+                denom_e = jnp.moveaxis(denom_n[t_col], 2, 1)  # [B, H, Eb]
+                out = _attspmm_call(e, denom_e, xg, t_lrow, t_tidx,
+                                    num_tiles, tile, per_edge_denom=True)
+            else:
+                out = _attspmm_call(e, denom, xg, t_lrow, t_tidx, num_tiles,
+                                    tile)
+                residuals = (scores, shift, denom)
         out = jnp.where(present[:, None, None], out, 0.0)
         out = out.reshape(num_tiles * tile, -1)[:num_nodes].astype(x.dtype)
         return out, residuals
 
     def _xla_replay(att_params, x, edge_weight, t_slot, t_mask, t_col,
-                    t_lrow, t_tidx):
+                    t_lrow, t_tidx, tt=None):
         tiles = RowTiles(edge_slot=t_slot, slot_mask=t_mask, col=t_col,
                          local_row=t_lrow, tile_idx=t_tidx,
                          num_tiles=num_tiles, tile=tile,
                          block_edges=block_edges, num_nodes=num_nodes)
+        tiles_t_obj = None
+        if tt is not None:
+            tt_mask, tt_col, tt_lrow, tt_tidx, perm = tt
+            tiles_t_obj = RowTiles(
+                edge_slot=jnp.zeros_like(tt_col), slot_mask=tt_mask,
+                col=tt_col, local_row=tt_lrow, tile_idx=tt_tidx,
+                num_tiles=num_tiles_t, tile=tile_t, block_edges=block_edges,
+                num_nodes=num_nodes, perm_from_row=perm)
         return fused_attention_ax(cfg, att_params, tiles, x,
-                                  edge_weight=edge_weight)
+                                  edge_weight=edge_weight,
+                                  tiles_t=tiles_t_obj)
+
+    if norm1:
+        @jax.custom_vjp
+        def f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+              t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm):
+            return _forward(att_params, x, edge_weight, t_slot, t_mask,
+                            t_col, t_lrow, t_tidx,
+                            tt=(tt_mask, tt_col, tt_lrow, tt_tidx, perm))[0]
+
+        def fwd(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+                t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm):
+            y = f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+                  t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm)
+            return y, (att_params, x, edge_weight, t_slot, t_mask, t_col,
+                       t_lrow, t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx,
+                       perm)
+
+        def bwd(res, g):
+            (att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
+             t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm) = res
+            _, vjp = jax.vjp(
+                lambda p, xx, ew: _xla_replay(
+                    p, xx, ew, t_slot, t_mask, t_col, t_lrow, t_tidx,
+                    tt=(tt_mask, tt_col, tt_lrow, tt_tidx, perm)),
+                att_params, x, edge_weight)
+            dp, dx, dew = vjp(g.astype(x.dtype))
+            return (dp, dx, dew, _f0(t_slot), _f0(t_mask), _f0(t_col),
+                    _f0(t_lrow), _f0(t_tidx), _f0(tt_mask), _f0(tt_col),
+                    _f0(tt_lrow), _f0(tt_tidx), _f0(perm))
+
+        f.defvjp(fwd, bwd)
+        return f
 
     if not pallas_bwd:
         @jax.custom_vjp
@@ -827,8 +1072,6 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None):
 
         f.defvjp(fwd, bwd)
         return f
-
-    num_tiles_t, tile_t = t_shape
     d_k = cfg.attention_dim // heads
     scale_c = 1.0 / np.sqrt(d_k)
 
@@ -932,10 +1175,21 @@ def fused_attention_ax_pallas(cfg, att_params, tiles, x, edge_weight=None,
     if edge_weight is None:
         edge_weight = jnp.zeros(tiles.edge_slot.reshape(-1).shape,
                                 jnp.float32)
-    if use_pallas_bwd:
+    if cfg.attention_norm_idx != 0:
+        # col-normalized: the transpose tables flow through the forward
+        # (denominator reduce) and the XLA-replay backward
         f = _make_fused(cfg, tiles.num_tiles, tiles.tile, tiles.block_edges,
                         tiles.num_nodes,
                         t_shape=(tiles_t.num_tiles, tiles_t.tile))
+        return f(att_params, x, edge_weight, tiles.edge_slot,
+                 tiles.slot_mask, tiles.col, tiles.local_row, tiles.tile_idx,
+                 tiles_t.slot_mask, tiles_t.col, tiles_t.local_row,
+                 tiles_t.tile_idx, tiles_t.perm_from_row)
+    if use_pallas_bwd:
+        f = _make_fused(cfg, tiles.num_tiles, tiles.tile, tiles.block_edges,
+                        tiles.num_nodes,
+                        t_shape=(tiles_t.num_tiles, tiles_t.tile),
+                        pallas_bwd=True)
         return f(att_params, x, edge_weight, tiles.edge_slot,
                  tiles.slot_mask, tiles.col, tiles.local_row, tiles.tile_idx,
                  tiles_t.col, tiles_t.local_row, tiles_t.tile_idx)

@@ -242,7 +242,9 @@ def windowed_attention_ax(cfg, att_params, graph, x, dense_weight=None):
 
 
 def windowed_att_applicable(cfg, graph) -> bool:
-    from graphax.kernels.fused_attention import fused_path_applicable
-
+    # (norm_idx=1 / Beltrami configs route to the tiled fused path, which
+    # covers them via the transpose layout — see fused_attention.py)
     return (graph.strategy == "windowed" and graph.windows is not None
-            and fused_path_applicable(cfg))
+            and not cfg.mix_features and not cfg.multi_modal
+            and cfg.attention_norm_idx == 0
+            and not (cfg.beltrami and cfg.attention_type == "exp_kernel"))

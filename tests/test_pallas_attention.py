@@ -141,18 +141,20 @@ def test_eval_forward_routes_fast_attention(monkeypatch):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_flash_fallback_many_heads():
-    """H > FLASH_MAX_HEADS must fall back to the 3-kernel path and still
-    match the XLA fused path (softmax config that would otherwise flash)."""
+def test_flash_many_heads_and_vmem_fallback():
+    """Round 2 lift: H=8 now rides the flash kernel (the old H<=4 cap was
+    replaced by a VMEM estimate); an accumulator footprint past the budget
+    falls back to the 3-kernel path. Both must match the XLA fused path."""
     from graphax.kernels.pallas_attention import flash_applicable
 
     g = make_graph(seed=11)
     d = 8
     cfg = Config(function="transformer", heads=8, attention_dim=16,
                  hidden_dim=d, attention_type="scaled_dot")
-    assert not flash_applicable(cfg)
-    cfg2 = dataclasses.replace(cfg, heads=2)
-    assert flash_applicable(cfg2)
+    assert flash_applicable(cfg, d=d)            # 8 heads: in budget
+    assert not flash_applicable(cfg, d=4096)     # acc would blow VMEM
+    assert not flash_applicable(
+        dataclasses.replace(cfg, attention_norm_idx=1), d=d)
     p = randomized_params(cfg, d, seed=12)
     rng = np.random.RandomState(13)
     x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
@@ -261,3 +263,175 @@ def test_grand_nl_trains_through_pallas(monkeypatch, adjoint):
     assert all(np.isfinite(l_pl))
     assert l_pl[-1] < l_pl[0]
     np.testing.assert_allclose(l_pl, l_xla, rtol=2e-3, atol=2e-4)
+
+
+# ----------------------------------------------------------------------
+# round 2 (VERDICT #6): fast-path coverage of the tuned configs
+# ----------------------------------------------------------------------
+
+def _edge_space_oracle(cfg, p, g, x):
+    att, (v, _) = transformer_attention_apply(p, cfg, g, x)
+    return multiply_attention(p, cfg, g, x, att, v)
+
+
+@pytest.mark.parametrize("square_plus", [False, True])
+def test_fused_norm_idx1_matches_edge_space(square_plus):
+    """Col-normalized softmax/squareplus (the Cora/Citeseer/CoauthorCS
+    tuned shape: heads=8, norm_idx=1 — `src/best_params.py:1-2,4`) on the
+    XLA fused block path via the transpose layout."""
+    from graphax.kernels.fused_attention import fused_path_applicable
+
+    g = make_graph(seed=21)
+    d = 6
+    cfg = Config(function="transformer", heads=8, attention_dim=16,
+                 hidden_dim=d, attention_type="scaled_dot",
+                 attention_norm_idx=1, square_plus=square_plus)
+    assert not fused_path_applicable(cfg, None)
+    assert fused_path_applicable(cfg, g.tiles_t)
+    p = randomized_params(cfg, d, seed=22)
+    rng = np.random.RandomState(23)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    want = _edge_space_oracle(cfg, p, g, x)
+    got = fused_attention_ax(cfg, p, g.tiles, x, edge_weight=g.edge_weight,
+                             tiles_t=g.tiles_t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("square_plus", [False, True])
+def test_pallas_norm_idx1_matches_edge_space(square_plus):
+    """Same configs through the streaming Pallas path (per-edge-denominator
+    K3 + transpose-layout col reduce)."""
+    g = make_graph(seed=31)
+    d = 6
+    cfg = Config(function="transformer", heads=4, attention_dim=8,
+                 hidden_dim=d, attention_type="scaled_dot",
+                 attention_norm_idx=1, square_plus=square_plus)
+    p = randomized_params(cfg, d, seed=32)
+    rng = np.random.RandomState(33)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    want = _edge_space_oracle(cfg, p, g, x)
+    got = fused_attention_ax_pallas(cfg, p, g.tiles, x,
+                                    edge_weight=g.edge_weight,
+                                    tiles_t=g.tiles_t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_norm_idx1_gradients_replay():
+    """Gradients through the norm_idx=1 Pallas forward (XLA-replay vjp with
+    the transpose tables) vs direct autodiff of the edge-space path."""
+    g = make_graph(seed=41)
+    d = 5
+    cfg = Config(function="transformer", heads=2, attention_dim=8,
+                 hidden_dim=d, attention_type="scaled_dot",
+                 attention_norm_idx=1)
+    p = randomized_params(cfg, d, seed=42)
+    rng = np.random.RandomState(43)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+
+    def loss_pallas(params, xx):
+        out = fused_attention_ax_pallas(cfg, params, g.tiles, xx,
+                                        edge_weight=g.edge_weight,
+                                        tiles_t=g.tiles_t)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(params, xx):
+        return jnp.sum(_edge_space_oracle(cfg, params, g, xx) ** 2)
+
+    gp, gx = jax.grad(loss_pallas, argnums=(0, 1))(p, x)
+    rp, rx = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=5e-4, atol=5e-5)
+    for name in ("Q", "K"):
+        for leaf in ("w", "b"):
+            np.testing.assert_allclose(np.asarray(gp[name][leaf]),
+                                       np.asarray(rp[name][leaf]),
+                                       rtol=5e-4, atol=5e-5)
+
+
+def _beltrami_cfg(d, fh=4, ph=3, heads=2):
+    return Config(function="transformer", heads=heads, attention_dim=8,
+                  hidden_dim=d, attention_type="exp_kernel", beltrami=True,
+                  feat_hidden_dim=fh, pos_enc_hidden_dim=ph,
+                  pos_enc_dim=ph)
+
+
+def _beltrami_params(cfg, in_dim, seed):
+    p = transformer_attention_init(jax.random.PRNGKey(0), cfg, in_dim)
+    rng = np.random.RandomState(seed)
+    for name in ("Qx", "Kx", "Qp", "Kp"):
+        p[name] = {
+            "w": jnp.asarray(rng.randn(*p[name]["w"].shape) * 0.4,
+                             jnp.float32),
+            "b": jnp.asarray(rng.randn(*p[name]["b"].shape) * 0.1,
+                             jnp.float32),
+        }
+    p["output_var_x"] = jnp.asarray(1.2)
+    p["lengthscale_x"] = jnp.asarray(0.8)
+    p["output_var_p"] = jnp.asarray(0.9)
+    p["lengthscale_p"] = jnp.asarray(1.1)
+    return p
+
+
+def test_fused_beltrami_matches_edge_space():
+    """Beltrami product-of-Gaussians scores on the XLA fused block path
+    (state layout [features | positional | labels])."""
+    from graphax.kernels.fused_attention import fused_path_applicable
+
+    g = make_graph(seed=51)
+    d = 4 + 3 + 2  # fh + ph + label columns
+    cfg = _beltrami_cfg(d)
+    assert fused_path_applicable(cfg, g.tiles_t)
+    p = _beltrami_params(cfg, d, seed=52)
+    rng = np.random.RandomState(53)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    want = _edge_space_oracle(cfg, p, g, x)
+    got = fused_attention_ax(cfg, p, g.tiles, x, edge_weight=g.edge_weight)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("flash", [False, True])
+def test_pallas_beltrami_matches_edge_space(flash):
+    """Beltrami scores through the streaming Pallas kernels (combined
+    [D, 2A] K-weight trick), 3-kernel and single-pass flash variants."""
+    from graphax.kernels import pallas_attention as pa
+
+    g = make_graph(seed=61)
+    d = 4 + 3 + 2
+    cfg = _beltrami_cfg(d)
+    p = _beltrami_params(cfg, d, seed=62)
+    rng = np.random.RandomState(63)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    want = _edge_space_oracle(cfg, p, g, x)
+    if flash:
+        got = fused_attention_ax_pallas(cfg, p, g.tiles, x,
+                                        edge_weight=g.edge_weight)
+    else:
+        f = pa._make_fused(cfg, g.tiles.num_tiles, g.tiles.tile,
+                           g.tiles.block_edges, g.tiles.num_nodes)
+        ew = jnp.zeros(g.tiles.edge_slot.reshape(-1).shape, jnp.float32)
+        # residual (non-flash) route: ask for residuals via grad (replay)
+        got = f(p, x, ew, g.tiles.edge_slot, g.tiles.slot_mask, g.tiles.col,
+                g.tiles.local_row, g.tiles.tile_idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flash_squareplus_two_pass():
+    """Squareplus flash (global shift precomputed by the max-only kernel)
+    matches the 3-kernel path and the edge-space oracle."""
+    g = make_graph(seed=71)
+    d = 6
+    cfg = Config(function="transformer", heads=2, attention_dim=8,
+                 hidden_dim=d, attention_type="scaled_dot",
+                 square_plus=True)
+    p = randomized_params(cfg, d, seed=72)
+    rng = np.random.RandomState(73)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    want = _edge_space_oracle(cfg, p, g, x)
+    got = fused_attention_ax_pallas(cfg, p, g.tiles, x,
+                                    edge_weight=g.edge_weight)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
