@@ -96,28 +96,53 @@ def measure_peaks(dtype):
                            length=8)[0]
         return jnp.sum(out.astype(jnp.float32)[::64, ::64])
 
+    # random row gather: the third peak that actually binds sparse-graph
+    # kernels — per-row granule fetches, width-independent useful bandwidth
+    ng, mg, dg = 169_343, 2_000_000, 162
+    idx = jnp.asarray(np.random.RandomState(0).randint(0, ng, mg))
+    src = jnp.ones((ng, dg), dtype)
+
+    @jax.jit
+    def gath(s):
+        def body(c, _):
+            out = c[idx]                                   # [M, D] gather
+            return c * 0.999 + out[:ng] * 1e-6, None
+        return jnp.sum(jax.lax.scan(body, s, None, length=4)[0][::512, ::64])
+
     rtt = _round_trip()
-    float(stream(big)); float(mm(a))
+    float(stream(big)); float(mm(a)); float(gath(src))
     t_bw = (min(_time_fetch(stream, big) for _ in range(3)) - rtt) / 8
     t_mm = (min(_time_fetch(mm, a) for _ in range(3)) - rtt) / 8
+    t_ga = (min(_time_fetch(gath, src) for _ in range(3)) - rtt) / 4
     hbm_gbps = 2 * big.size * 4 / max(t_bw, 1e-9) / 1e9
     mxu_tflops = 2 * m ** 3 / max(t_mm, 1e-9) / 1e12
-    return hbm_gbps, mxu_tflops
+    gather_gbps = mg * dg * jnp.dtype(dtype).itemsize / max(t_ga, 1e-9) / 1e9
+    return hbm_gbps, mxu_tflops, gather_gbps
 
 
-def roofline(t_s, bytes_moved, flops, hbm_gbps, mxu_tflops):
-    """Achieved fraction of the measured memory/compute peaks + the
-    bound-implied floor time."""
+def roofline(t_s, bytes_moved, flops, hbm_gbps, mxu_tflops,
+             gather_bytes=0, gather_gbps=None):
+    """Achieved fraction of the measured memory/compute/gather peaks + the
+    bound-implied floor time. ``gather_bytes`` are randomly-indexed row
+    fetches, charged at the MEASURED granule-bound gather rate (not the
+    streaming rate) — that is the realistic bound for sparse-graph kernels,
+    and the serial component it forms is added to the streaming term."""
     t_mem = bytes_moved / (hbm_gbps * 1e9)
+    t_gather = (gather_bytes / (gather_gbps * 1e9)) if gather_bytes else 0.0
     t_mxu = flops / (mxu_tflops * 1e12)
-    return {
+    floor = max(t_mem + t_gather, t_mxu)
+    out = {
         "bytes_mb": round(bytes_moved / 1e6, 1),
         "gflops": round(flops / 1e9, 2),
         "pct_of_hbm_peak": round(100 * t_mem / t_s, 1),
         "pct_of_mxu_peak": round(100 * t_mxu / t_s, 1),
-        "floor_ms": round(max(t_mem, t_mxu) * 1e3, 3),
-        "headroom_x": round(t_s / max(t_mem, t_mxu, 1e-12), 1),
+        "floor_ms": round(floor * 1e3, 3),
+        "headroom_x": round(t_s / max(floor, 1e-12), 1),
     }
+    if gather_bytes:
+        out["gather_mb"] = round(gather_bytes / 1e6, 1)
+        out["gather_bound_ms"] = round(t_gather * 1e3, 3)
+    return out
 
 
 def build_sorted_edges(n, avg_deg, seed=0):
@@ -263,21 +288,64 @@ def main():
     t_train_xla = bench_chained(grad_step(f_att, p_att), x, fs_train_xla,
                                 iters=6)
 
+    # ---- arxiv-like power-law graph: hub-slab strategy ------------------
+    # Citation graphs are community-structured AND heavy-tailed; the hub
+    # layout (kernels.hubs) serves the top-in-degree columns from dense
+    # operator blocks against a tiny x[hub_ids] slab — one shared-rhs MXU
+    # matmul replacing the granule-bound gathers those edges would pay.
+    from graphax.kernels.hubs import attach_hubs
+
+    n_hubs = 512
+    hub_ids0 = rng.choice(n, n_hubs, replace=False)
+    src_h = rng.randint(0, n, n * avg_deg)
+    to_hub = rng.rand(n * avg_deg) < 0.30          # 30% of edges hit hubs
+    dst_h = np.where(to_hub, hub_ids0[rng.randint(0, n_hubs, n * avg_deg)],
+                     rng.randint(0, n, n * avg_deg))
+    keep_h = src_h != dst_h
+    src_h, dst_h = src_h[keep_h], dst_h[keep_h]
+    oh_ = np.lexsort((dst_h, src_h))
+    gh0 = Graph.from_edges(src_h[oh_], dst_h[oh_], n)
+    eh = len(src_h)
+    g_hub = dataclasses.replace(attach_hubs(attach_tiles(gh0)),
+                                strategy="tiled")
+    g_hub_plain = dataclasses.replace(attach_tiles(gh0), strategy="tiled")
+    hub_cov = (g_hub.hubs.hub_edges / eh) if g_hub.hubs is not None else 0.0
+    fs_hub = make_fstate(g_hub, x, train=False)
+    fs_hub_plain = make_fstate(g_hub_plain, x, train=False)
+    t_hub = bench_chained(rhs_step(f_lap), x, fs_hub, p_lap)
+    t_hub_plain = bench_chained(rhs_step(f_lap), x, fs_hub_plain, p_lap)
+
     # ---- roofline: measured chip peaks + per-path traffic/FLOP models ---
-    hbm_gbps, mxu_tflops = measure_peaks(dtype)
+    hbm_gbps, mxu_tflops, gather_gbps = measure_peaks(dtype)
     bpe = jnp.dtype(dtype).itemsize
     wt = g_win.windows
     t_tiles, tile_r, win_w = wt.num_tiles, wt.tile, wt.window
     res_e = int(np.asarray(wt.residual.slot_mask).sum())
-    # tiled SpMM per NFE: gather E·D (random), weights E·4, out N·D write
-    # (+f32 partial traffic folded into the 2x on out)
-    bytes_tiled = e * d * bpe + e * 4 + 2 * n * d * 4
+    # tiled SpMM per NFE: E·D random row gather (granule-bound, charged at
+    # the measured gather rate) + the gathered buffer's write+read stream,
+    # weights E·4, out N·D f32
+    gbytes_tiled = e * d * bpe
+    bytes_tiled = 2 * e * d * bpe + e * 4 + 2 * n * d * 4
     flops_tiled = 2 * e * d
     # windowed per NFE: dense blocks T·tile·W, slab reads ≤ T·W·D, out
-    # N·D f32 + residual gather
+    # N·D f32 + residual gather (granule-bound part split out)
+    gbytes_win = res_e * d * bpe
     bytes_win = (t_tiles * tile_r * win_w * bpe + t_tiles * win_w * d * bpe
                  + 2 * n * d * 4 + res_e * d * bpe + res_e * 4)
     flops_win = 2 * t_tiles * tile_r * win_w * d + 2 * res_e * d
+    # hub-layout SpMM: dense hub blocks T·tile·H + rest gather
+    if g_hub.hubs is not None:
+        hub_e = g_hub.hubs.hub_edges
+        hub_h = g_hub.hubs.hub_size
+        gbytes_hub = (eh - hub_e) * d * bpe
+        bytes_hub = (t_tiles * tile_r * hub_h * bpe
+                     + (eh - hub_e) * d * bpe + 2 * n * d * 4
+                     + (eh - hub_e) * 4)
+        flops_hub = 2 * t_tiles * tile_r * hub_h * d + 2 * (eh - hub_e) * d
+        roof_hub = roofline(t_hub, bytes_hub, flops_hub, hbm_gbps,
+                            mxu_tflops, gbytes_hub, gather_gbps)
+    else:
+        roof_hub = None
     # attention RHS (tiled): + K projection on gathered sources (E·A·D
     # FLOPs), scores/normalize E·H traffic
     a_dim = cfg_att.attention_dim
@@ -287,12 +355,14 @@ def main():
     roof = {
         "hbm_gbps_measured": round(hbm_gbps, 1),
         "mxu_tflops_measured": round(mxu_tflops, 1),
+        "gather_gbps_measured": round(gather_gbps, 1),
         "spmm_tiled": roofline(t_lap, bytes_tiled, flops_tiled, hbm_gbps,
-                               mxu_tflops),
+                               mxu_tflops, gbytes_tiled, gather_gbps),
         "spmm_windowed": roofline(t_win, bytes_win, flops_win, hbm_gbps,
-                                  mxu_tflops),
+                                  mxu_tflops, gbytes_win, gather_gbps),
+        "spmm_hub": roof_hub,
         "attention_tiled": roofline(t_att, bytes_att, flops_att, hbm_gbps,
-                                    mxu_tflops),
+                                    mxu_tflops, gbytes_tiled, gather_gbps),
     }
 
     # ---- Cora scale (dense strategy) ------------------------------------
@@ -350,6 +420,16 @@ def main():
             "train_rhs_fwdbwd_ms_pallas": round(t_train_pl * 1e3, 2),
             "train_rhs_fwdbwd_ms_xla": round(t_train_xla * 1e3, 2),
             "pallas_vs_xla": round(t_train_xla / t_train_pl, 2),
+        },
+        "arxiv_scale_powerlaw_hub": {
+            "n_nodes": n, "n_edges": eh,
+            "hub_size": (g_hub.hubs.hub_size if g_hub.hubs is not None
+                         else 0),
+            "hub_edge_frac": round(hub_cov, 3),
+            "spmm_rhs_ms": round(t_hub * 1e3, 2),
+            "spmm_rhs_ms_no_hubs": round(t_hub_plain * 1e3, 2),
+            "spmm_edges_per_s": round(eh / t_hub, 1),
+            "hub_vs_plain": round(t_hub_plain / t_hub, 2),
         },
         "roofline": roof,
         "cora_scale_dense": {

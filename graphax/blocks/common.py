@@ -80,8 +80,19 @@ def make_fstate(graph, x, attention=None, y=None,
             wb_t = res_t
         elif pallas_tiled_ok(graph, x):
             values = graph.edge_weight if attention is None else attention
-            wb = blocked_values(values, graph.tiles)
-            wb_t = blocked_values(values, graph.tiles_t)
+            if getattr(graph, "hubs", None) is not None:
+                # hub layout: densify the hub edges ONCE here; the solver's
+                # SpMM becomes one shared-rhs MXU matmul + rest gather
+                from graphax.kernels.hubs import (
+                    blocked_hub_values, densify_hubs,
+                )
+
+                hub, rest, rest_t = blocked_hub_values(values, graph.hubs)
+                wb = (densify_hubs(hub.astype(x.dtype), graph.hubs), rest)
+                wb_t = rest_t
+            else:
+                wb = blocked_values(values, graph.tiles)
+                wb_t = blocked_values(values, graph.tiles_t)
     # eval forwards always ride the streaming/flash kernels; train forwards
     # do too when the config has a Pallas backward (round 2 —
     # kernels.pallas_attention.pallas_bwd_supported), else they stay on the

@@ -43,6 +43,13 @@ def make_laplacian(cfg, in_dim: int) -> DiffusionFunction:
 
             ax = spmm_windowed(fstate.wb[0], fstate.wb[1], fstate.wb_t,
                                x, g.windows)
+        elif fstate.wb is not None and getattr(g, "hubs", None) is not None:
+            # hub layout: dense top-in-degree operator blocks against the
+            # x[hub_ids] slab + gather SpMM on the rest (kernels.hubs)
+            from graphax.kernels.hubs import spmm_hub_tiled
+
+            ax = spmm_hub_tiled(fstate.wb[0], fstate.wb[1], fstate.wb_t,
+                                x, g.hubs)
         elif fstate.wb is not None:
             # Pallas tiled path: fused gather-scale-reduce kernel with a
             # custom vjp (transpose-SpMM + SDDMM kernels)

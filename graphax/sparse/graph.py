@@ -64,6 +64,12 @@ class Graph:
     # SpMM is a pure batched MXU matmul instead of the granule-bound random
     # row gather (attached by kernels.dispatch.attach_windows)
     windows: Optional[object] = None
+    # optional hub layout (graphax.kernels.hubs.HubTiles) for power-law
+    # graphs: edges into the top-H in-degree columns become dense
+    # [T, tile, H] operator blocks served from a tiny x[hub_ids] slab (one
+    # MXU matmul) instead of the granule-bound random gather; the rest ride
+    # their own RowTiles pair (attached by kernels.hubs.attach_hubs)
+    hubs: Optional[object] = None
     # compute strategy: 'edge' (XLA segment ops), 'tiled' (MXU one-hot
     # reductions over row tiles), 'dense' (materialized [N,N] operator —
     # fastest for N ≲ 20k; see graphax.kernels.dense_path), 'windowed'

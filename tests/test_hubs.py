@@ -1,0 +1,168 @@
+"""Hub-slab SpMM (graphax.kernels.hubs): layout selection, value/gradient
+parity vs the dense operator, and end-to-end dispatch through the
+laplacian RHS (interpreter mode on CPU via the FORCE hook)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphax.kernels.dispatch import attach_tiles
+from graphax.kernels.hubs import (
+    attach_hubs, blocked_hub_values, build_hub_tiles, densify_hubs,
+    spmm_hub_tiled,
+)
+from graphax.sparse import Graph
+
+
+def powerlaw_graph(n=600, e=3000, hub_frac=0.5, n_hubs=12, seed=0):
+    """Half the edges target a handful of hub columns (power-law stand-in),
+    half are uniform."""
+    rng = np.random.RandomState(seed)
+    row = rng.randint(0, n, e)
+    hubs = rng.choice(n, n_hubs, replace=False)
+    col = np.where(rng.rand(e) < hub_frac, hubs[rng.randint(0, n_hubs, e)],
+                   rng.randint(0, n, e))
+    keep = row != col
+    row, col = row[keep], col[keep]
+    order = np.lexsort((col, row))
+    w = (rng.rand(len(row)) + 0.1).astype(np.float32)
+    g = Graph.from_edges(row[order], col[order], n, edge_weight=w[order])
+    return dataclasses.replace(attach_tiles(g, tile=8, block_edges=32),
+                               strategy="tiled")
+
+
+def dense_reference(g):
+    a = np.zeros((g.num_nodes, g.num_nodes), np.float32)
+    row = np.asarray(g.row)[: int(g.num_edges)]
+    col = np.asarray(g.col)[: int(g.num_edges)]
+    w = np.asarray(g.edge_weight)[: int(g.num_edges)]
+    np.add.at(a, (row, col), w)
+    return a
+
+
+def test_build_hub_tiles_selection():
+    g = powerlaw_graph()
+    ht = build_hub_tiles(g.row, g.col, g.num_nodes,
+                         num_edges=int(g.num_edges), tile=8,
+                         candidates=(16, 32))
+    assert ht is not None
+    # hub edges + rest edges partition the edge set
+    rest_e = int(np.asarray(ht.rest.slot_mask).sum())
+    assert ht.hub_edges + rest_e == int(g.num_edges)
+    # the chosen hubs actually are the hottest columns
+    indeg = np.bincount(np.asarray(g.col)[: int(g.num_edges)],
+                        minlength=g.num_nodes)
+    chosen = set(np.asarray(ht.hub_ids).tolist())
+    top = set(np.argsort(indeg)[::-1][: ht.hub_size].tolist())
+    assert len(chosen & top) >= ht.hub_size - 2  # ties may swap the tail
+
+
+def test_spmm_hub_tiled_matches_dense(monkeypatch):
+    from graphax.kernels import pallas_tiled, pallas_windows
+
+    monkeypatch.setattr(pallas_tiled, "FORCE", True)
+    monkeypatch.setattr(pallas_windows, "FORCE", True)
+    g = powerlaw_graph(seed=3)
+    ht = build_hub_tiles(g.row, g.col, g.num_nodes,
+                         num_edges=int(g.num_edges), tile=8,
+                         candidates=(16,))
+    rng = np.random.RandomState(4)
+    d = 5
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    hub, rest, rest_t = blocked_hub_values(g.edge_weight, ht)
+    dense_hub = densify_hubs(hub, ht)
+    got = spmm_hub_tiled(dense_hub, rest, rest_t, x, ht)
+    want = dense_reference(g) @ np.asarray(x)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_hub_gradients(monkeypatch):
+    from graphax.kernels import pallas_tiled, pallas_windows
+
+    monkeypatch.setattr(pallas_tiled, "FORCE", True)
+    monkeypatch.setattr(pallas_windows, "FORCE", True)
+    g = powerlaw_graph(n=200, e=900, seed=5)
+    ht = build_hub_tiles(g.row, g.col, g.num_nodes,
+                         num_edges=int(g.num_edges), tile=8,
+                         candidates=(16,))
+    rng = np.random.RandomState(6)
+    d = 4
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    probe = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+
+    def loss_hub(vals, xx):
+        hub, rest, rest_t = blocked_hub_values(vals, ht)
+        out = spmm_hub_tiled(densify_hubs(hub, ht), rest, rest_t, xx, ht)
+        return jnp.sum(out * probe)
+
+    a = dense_reference(g)
+    row = np.asarray(g.row)[: int(g.num_edges)]
+    col = np.asarray(g.col)[: int(g.num_edges)]
+
+    def loss_ref(vals, xx):
+        e = int(g.num_edges)
+        contrib = vals[:e, None] * xx[col] * probe[row]
+        return jnp.sum(contrib)
+
+    gv, gx = jax.grad(loss_hub, argnums=(0, 1))(g.edge_weight, x)
+    rv, rx = jax.grad(loss_ref, argnums=(0, 1))(g.edge_weight, x)
+    np.testing.assert_allclose(np.asarray(gx),
+                               np.asarray(a).T @ np.asarray(probe),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv)[: int(g.num_edges)],
+                               np.asarray(rv)[: int(g.num_edges)],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_laplacian_rhs_dispatches_hubs(monkeypatch):
+    """make_fstate + laplacian RHS route through the hub path and match the
+    plain edge-space RHS (values and grads through a train step)."""
+    from graphax.kernels import pallas_tiled, pallas_windows
+    from graphax.blocks.common import make_fstate
+    from graphax.functions import get_function
+    from graphax.functions.common import FuncState, prepare_scalars
+    from graphax.train import Config
+
+    monkeypatch.setattr(pallas_tiled, "FORCE", True)
+    monkeypatch.setattr(pallas_windows, "FORCE", True)
+    g = powerlaw_graph(seed=7)
+    gh = attach_hubs(g, tile=8, candidates=(16,))
+    assert gh.hubs is not None
+    d = 6
+    cfg = Config(function="laplacian", hidden_dim=d, add_source=True)
+    f = get_function(cfg, d)
+    p = prepare_scalars(f.init(jax.random.PRNGKey(0)), cfg, jnp.float32)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+
+    fs_hub = make_fstate(gh, x, train=False)
+    assert isinstance(fs_hub.wb, tuple)            # hub route engaged
+    fs_edge = FuncState(graph=dataclasses.replace(g, strategy="edge"), x0=x)
+    got = f.rhs(p, fs_hub, 0.0, x)
+    want = f.rhs(p, fs_edge, 0.0, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(fn_state, xx):
+        return jnp.sum(f.rhs(p, fn_state, 0.0, xx) ** 2)
+
+    gx = jax.grad(loss, argnums=1)(fs_hub, x)
+    rx = jax.grad(loss, argnums=1)(fs_edge, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_attach_hubs_declines_uniform_at_scale():
+    """Uniform in-degree at a size where streaming the dense blocks costs
+    more than the gathers it would replace -> no hub layout."""
+    rng = np.random.RandomState(9)
+    n, e = 60_000, 120_000
+    row = np.sort(rng.randint(0, n, e))
+    col = rng.randint(0, n, e)
+    ht = build_hub_tiles(row, col, n, candidates=(512, 1024))
+    assert ht is None
