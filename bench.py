@@ -25,7 +25,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 import dataclasses
 import json
+import sys
 import time
+
+
+def _note(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 import numpy as np
 
@@ -203,6 +209,7 @@ def main():
     fs_tiled = make_fstate(g_tiled, x, train=False)
     fs_xla = FuncState(graph=g_xla, x0=x)
 
+    _note("arxiv tiled section")
     t_att = bench_chained(rhs_step(f_att), x, fs_tiled, p_att)
     t_att_base = bench_chained(rhs_step(f_att), x, fs_xla, p_att)
     t_lap = bench_chained(rhs_step(f_lap), x, fs_tiled, p_lap)
@@ -241,6 +248,7 @@ def main():
     in_frac = g_win.windows.in_window_edges / ew
     fs_win = make_fstate(g_win, x, train=False)
     fs_win_tiled = make_fstate(g_win_tiled, x, train=False)
+    _note("windowed section")
     t_win = bench_chained(rhs_step(f_lap), x, fs_win, p_lap)
     t_win_tiled = bench_chained(rhs_step(f_lap), x, fs_win_tiled, p_lap)
     # per-NFE attention recompute (GRAND-nl) through the block-dense
@@ -283,8 +291,10 @@ def main():
 
     fs_train_pl = make_fstate(g_tiled, x, train=True, cfg=cfg_att)
     fs_train_xla = make_fstate(g_tiled, x, train=True)
+    _note("train-step section (pallas)")
     t_train_pl = bench_chained(grad_step(f_att, p_att), x, fs_train_pl,
                                iters=6)
+    _note("train-step section (xla)")
     t_train_xla = bench_chained(grad_step(f_att, p_att), x, fs_train_xla,
                                 iters=6)
 
@@ -312,10 +322,12 @@ def main():
     hub_cov = (g_hub.hubs.hub_edges / eh) if g_hub.hubs is not None else 0.0
     fs_hub = make_fstate(g_hub, x, train=False)
     fs_hub_plain = make_fstate(g_hub_plain, x, train=False)
+    _note("hub section")
     t_hub = bench_chained(rhs_step(f_lap), x, fs_hub, p_lap)
     t_hub_plain = bench_chained(rhs_step(f_lap), x, fs_hub_plain, p_lap)
 
     # ---- roofline: measured chip peaks + per-path traffic/FLOP models ---
+    _note("peaks section")
     hbm_gbps, mxu_tflops, gather_gbps = measure_peaks(dtype)
     bpe = jnp.dtype(dtype).itemsize
     wt = g_win.windows
@@ -382,6 +394,7 @@ def main():
     fs_cd = FuncState(graph=gc_dense, x0=xc,
                       dense_adj=densify(gc_dense, gc_dense.edge_weight))
     fs_ce = FuncState(graph=gc_xla, x0=xc)
+    _note("cora section")
     t_cora = bench_chained(rhs_step(f_c), xc, fs_cd, p_c, iters=400)
     t_cora_base = bench_chained(rhs_step(f_c), xc, fs_ce, p_c, iters=400)
 

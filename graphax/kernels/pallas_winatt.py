@@ -162,7 +162,7 @@ def _make_winatt(cfg, num_tiles, tile, window, num_windows, block_edges,
 
     def _forward(att_params, x, edge_weight, dense_w, wt):
         from graphax.kernels.pallas_attention import (
-            _attspmm_call, _norm_call, _scores_call,
+            SCAL_N, _attspmm_call, _norm_call, _scores_call,
         )
         from graphax.kernels.pallas_tiled import presence_scale
 
@@ -198,10 +198,10 @@ def _make_winatt(cfg, num_tiles, tile, window, num_windows, block_edges,
             else:
                 ov2 = att_params["output_var"] ** 2
                 inv2l2 = 1.0 / (2.0 * att_params["lengthscale"] ** 2)
-            scal2 = jnp.stack([ov2, inv2l2]).reshape(1, 2) \
-                .astype(jnp.float32)
+            scal2 = jnp.zeros((1, SCAL_N), jnp.float32) \
+                .at[0, 0].set(ov2).at[0, 1].set(inv2l2)
         else:
-            scal2 = jnp.zeros((1, 2), jnp.float32)
+            scal2 = jnp.zeros((1, SCAL_N), jnp.float32)
 
         present = presence_scale(res.tile_idx, num_tiles) > 0
         s_res, rmax = _scores_call(
