@@ -76,8 +76,23 @@ def make_fstate(graph, x, attention=None, y=None,
             win, res, res_t = blocked_window_values(values, graph.windows)
             # dense blocks in the state dtype: one rounding here instead of
             # a [T, tile, W] cast at every solver evaluation
-            wb = (densify_windows(win.astype(x.dtype), graph.windows), res)
-            wb_t = res_t
+            dense_win = densify_windows(win.astype(x.dtype), graph.windows)
+            if graph.windows.hub is not None:
+                # hub edges leave the gather residual for the dense hub
+                # slab (kernels.hubs); attention paths keep the full
+                # residual tables and ignore the extra tuple entry
+                from graphax.kernels.hubs import (
+                    blocked_hub_values, densify_hubs,
+                )
+
+                hubv, restv, restv_t = blocked_hub_values(
+                    values, graph.windows.hub)
+                wb = (dense_win, restv,
+                      densify_hubs(hubv.astype(x.dtype), graph.windows.hub))
+                wb_t = restv_t
+            else:
+                wb = (dense_win, res)
+                wb_t = res_t
         elif pallas_tiled_ok(graph, x):
             values = graph.edge_weight if attention is None else attention
             if getattr(graph, "hubs", None) is not None:

@@ -41,8 +41,9 @@ def make_laplacian(cfg, in_dim: int) -> DiffusionFunction:
             # per-tile blocks + gather residual (kernels.pallas_windows)
             from graphax.kernels.pallas_windows import spmm_windowed
 
+            dense_hub = fstate.wb[2] if len(fstate.wb) > 2 else None
             ax = spmm_windowed(fstate.wb[0], fstate.wb[1], fstate.wb_t,
-                               x, g.windows)
+                               x, g.windows, dense_hub=dense_hub)
         elif fstate.wb is not None and getattr(g, "hubs", None) is not None:
             # hub layout: dense top-in-degree operator blocks against the
             # x[hub_ids] slab + gather SpMM on the rest (kernels.hubs)

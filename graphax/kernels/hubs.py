@@ -79,7 +79,26 @@ def build_hub_tiles(row, col, num_nodes: int, num_edges: int = None,
     row = np.asarray(row)
     col = np.asarray(col)
     e = int(num_edges) if num_edges is not None else row.shape[0]
-    row, col = row[:e], col[:e]
+    return _build_hub_tiles(row[:e], col[:e], np.arange(e, dtype=np.int64),
+                            num_nodes, tile, candidates, dtype_bytes,
+                            block_edges)
+
+
+def build_hub_tiles_subset(row, col, edge_ids, num_nodes: int,
+                           tile: int = 128,
+                           candidates=(128, 256, 512, 1024),
+                           dtype_bytes: int = 2, block_edges: int = 2048):
+    """Hub layout over a SUBSET of a graph's edges (e.g. the windowed
+    strategy's out-of-window residual). ``edge_ids[i]`` is the original
+    edge index of subset edge i, so the produced ``edge_slot`` tables
+    index the full [E] value vector."""
+    return _build_hub_tiles(np.asarray(row), np.asarray(col),
+                            np.asarray(edge_ids, np.int64), num_nodes,
+                            tile, candidates, dtype_bytes, block_edges)
+
+
+def _build_hub_tiles(row, col, edge_ids, num_nodes, tile, candidates,
+                     dtype_bytes, block_edges):
     assert (np.diff(row) >= 0).all(), "edges must be sorted by row"
 
     t = (num_nodes + tile - 1) // tile
@@ -133,7 +152,7 @@ def build_hub_tiles(row, col, num_nodes: int, num_edges: int = None,
     tile_idx = np.zeros((b,), np.int32)
     for i, (ti, s, take) in enumerate(blocks):
         sl = np.arange(s, s + take)
-        orig = idx_hub[sl]
+        orig = edge_ids[idx_hub[sl]]
         edge_slot[i, :take] = orig
         slot_mask[i, :take] = True
         lcol[i, :take] = rank[c_h[sl]]
@@ -153,9 +172,9 @@ def build_hub_tiles(row, col, num_nodes: int, num_edges: int = None,
                 np.where(m, remapped, 0).astype(np.int32)))
 
     r_r, c_r = row[idx_rest], col[idx_rest]
-    rest = _rest_layout(r_r, c_r, idx_rest)
+    rest = _rest_layout(r_r, c_r, edge_ids[idx_rest])
     ot = np.lexsort((r_r, c_r))
-    rest_t = _rest_layout(c_r[ot], r_r[ot], idx_rest[ot])
+    rest_t = _rest_layout(c_r[ot], r_r[ot], edge_ids[idx_rest[ot]])
 
     return HubTiles(
         hub_ids=jnp.asarray(hub_ids.astype(np.int32)),

@@ -215,19 +215,29 @@ def _make_win_matmul(num_tiles, tile, window, num_windows, num_nodes):
     return f
 
 
-def spmm_windowed(dense, res_wb, res_wb_t, x, wt: WindowTiles):
+def spmm_windowed(dense, res_wb, res_wb_t, x, wt: WindowTiles,
+                  dense_hub=None):
     """``y = A @ x`` on the windowed layout, differentiable.
 
     ``dense``: [T, tile, W] in-window operator blocks from
     :func:`densify_windows`; ``res_wb`` / ``res_wb_t``: blocked residual
-    edge values on ``wt.residual`` / ``wt.residual_t`` (all three produced
-    per forward from one [E] vector — fstate build; see
-    `blocks.common.make_fstate`). Gradients flow to all of ``dense``,
-    ``res_wb`` and ``x``."""
+    edge values (all produced per forward from one [E] vector — fstate
+    build; see `blocks.common.make_fstate`). With ``dense_hub`` (and
+    ``wt.hub``), the residual's hub edges ride the dense hub-slab matmul
+    (kernels.hubs) and ``res_wb``/``res_wb_t`` are the HUB-FREE residual
+    blocks on ``wt.hub.rest``/``rest_t``; otherwise they cover the full
+    residual on ``wt.residual``/``residual_t``. Gradients flow to every
+    value view and ``x``."""
     f = _make_win_matmul(wt.num_tiles, wt.tile, wt.window, wt.num_windows,
                          wt.num_nodes)
     out = f(dense, x, wt.tile_win)                         # [N, D] f32
-    res = spmm_pallas(res_wb, res_wb_t, x, wt.residual, wt.residual_t)
+    if dense_hub is not None and wt.hub is not None:
+        from graphax.kernels.hubs import spmm_hub
+
+        out = out + spmm_hub(dense_hub, x, wt.hub)
+        res = spmm_pallas(res_wb, res_wb_t, x, wt.hub.rest, wt.hub.rest_t)
+    else:
+        res = spmm_pallas(res_wb, res_wb_t, x, wt.residual, wt.residual_t)
     return (out + res.astype(jnp.float32)).astype(x.dtype)
 
 

@@ -59,6 +59,14 @@ class WindowTiles:
     tile: int = dataclasses.field(metadata=dict(static=True))
     block_edges: int = dataclasses.field(metadata=dict(static=True))
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    # optional hub extraction from the residual (kernels.hubs.HubTiles built
+    # on the residual subset): on real community+hub graphs the out-of-window
+    # edges concentrate on a few global hub columns — those become dense
+    # [T, tile, H] blocks against the x[hub_ids] slab, and only the
+    # hub-free remainder pays the granule-bound gather. The FULL residual
+    # pair above is kept for the windowed-attention path (scores need every
+    # residual edge in one layout).
+    hub: object = None
 
     @property
     def num_blocks(self) -> int:
@@ -93,7 +101,8 @@ def community_order(row, col, num_nodes: int, window: int = 512):
 
 def build_window_tiles(row, col, num_nodes: int, num_edges: int = None,
                        tile: int = 128, window: int = 512,
-                       block_edges: int = 2048) -> WindowTiles:
+                       block_edges: int = 2048,
+                       hubs: bool = True) -> WindowTiles:
     """Build the windowed layout from row-sorted host edge arrays."""
     row = np.asarray(row)
     col = np.asarray(col)
@@ -173,6 +182,15 @@ def build_window_tiles(row, col, num_nodes: int, num_edges: int = None,
     ot = np.lexsort((r_res, c_res))
     res_t = _residual_layout(c_res[ot], r_res[ot], idx_res[ot])
 
+    # hub extraction from the residual: SpMM-only fast path (the attention
+    # path keeps the full residual pair above)
+    hub_tiles = None
+    if hubs and idx_res.size:
+        from graphax.kernels.hubs import build_hub_tiles_subset
+
+        hub_tiles = build_hub_tiles_subset(r_res, c_res, idx_res, num_nodes,
+                                           tile=tile)
+
     # static cell-occupancy mask of the in-window dense blocks (edges are
     # coalesced, so cells are unique) — serves the windowed attention path
     # (score masking before softmax) at zero per-forward cost
@@ -185,7 +203,7 @@ def build_window_tiles(row, col, num_nodes: int, num_edges: int = None,
         tile_idx=jnp.asarray(tile_idx), win_id=jnp.asarray(win_id),
         tile_win=jnp.asarray(best_win.astype(np.int32)),
         dense_mask=jnp.asarray(dense_mask),
-        residual=res, residual_t=res_t, window=window,
+        residual=res, residual_t=res_t, hub=hub_tiles, window=window,
         num_windows=num_windows, num_tiles=t,
         tile=tile, block_edges=block_edges, num_nodes=int(num_nodes))
 

@@ -61,7 +61,7 @@ def build_graph(kind: str, n: int, avg_deg: int, seed: int = 1):
 
 
 def analyze(kind: str, n: int, d: int, shards, avg_deg: int = 14,
-            method: str = "contiguous"):
+            method: str = "contiguous", measured=None):
     from graphax import native
 
     row, col = build_graph(kind, n, avg_deg)
@@ -82,6 +82,13 @@ def analyze(kind: str, n: int, d: int, shards, avg_deg: int = 14,
         halo_bytes = halo_per.max() * d * DTYPE_BYTES
         slots_shard = int(edges_per.max())
         t_comp = T_SPMM_1CHIP * (slots_shard / e)
+        comp_src = "model"
+        if measured:
+            for r in measured:
+                if (r.get("kind") == kind and r.get("method") == method
+                        and r.get("shards") == p):
+                    t_comp = r["t_comp_ms"] / 1e3
+                    comp_src = "measured"
         t_halo = halo_bytes / ICI_BW
         eff_overlap = t_comp / max(t_comp, t_halo)
         eff_serial = t_comp / (t_comp + t_halo)
@@ -91,7 +98,8 @@ def analyze(kind: str, n: int, d: int, shards, avg_deg: int = 14,
             halo_mb=halo_bytes / 1e6,
             cut_frac=float(halo_per.sum() / e),
             t_comp_ms=t_comp * 1e3, t_halo_ms=t_halo * 1e3,
-            eff_overlap=eff_overlap, eff_serial=eff_serial))
+            eff_overlap=eff_overlap, eff_serial=eff_serial,
+            comp_src=comp_src))
     return e, rows
 
 
@@ -128,13 +136,20 @@ def parity_check():
     return results
 
 
-def main(out_path="SCALING.md"):
+def main(out_path="SCALING.md", measured_path=None):
+    import json as _json
+
+    measured = None
+    if measured_path and os.path.exists(measured_path):
+        with open(measured_path) as f:
+            measured = _json.load(f)
     shards = (2, 4, 8, 16)
     n, d = 169_343, 162
     sections = []
     for kind in ("uniform", "sbm"):
         for method in ("contiguous", "bfs"):
-            e, rows = analyze(kind, n, d, shards, method=method)
+            e, rows = analyze(kind, n, d, shards, method=method,
+                              measured=measured)
             sections.append((f"{kind}/{method}", e, rows))
     parity = parity_check()
 
@@ -165,9 +180,11 @@ def main(out_path="SCALING.md"):
                     "edge-cut frac | T_comp ms | T_halo ms | eff (overlap) | "
                     "eff (serial) |\n|---|---|---|---|---|---|---|---|---|\n")
             for r in rows:
+                star = " (measured)" if r.get("comp_src") == "measured" \
+                    else ""
                 f.write(f"| {r['shards']} | {r['edges_max']:,} | "
                         f"{r['halo_nodes_max']:,} | {r['halo_mb']:.2f} | "
-                        f"{r['cut_frac']:.2f} | {r['t_comp_ms']:.2f} | "
+                        f"{r['cut_frac']:.2f} | {r['t_comp_ms']:.2f}{star} | "
                         f"{r['t_halo_ms']:.2f} | {r['eff_overlap']:.0%} | "
                         f"{r['eff_serial']:.0%} |\n")
             f.write("\n")
@@ -198,4 +215,10 @@ if __name__ == "__main__":
     jax.config.update("jax_num_cpu_devices", 8)
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALING.md")
-    main(ap.parse_args().out)
+    ap.add_argument("--measured", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "shard_comp_measured.json"),
+        help="JSON from measure_shard_comp.py (run on the TPU); rows "
+             "matching (kind, method, shards) get measured T_comp")
+    a = ap.parse_args()
+    main(a.out, a.measured)

@@ -166,3 +166,71 @@ def test_attach_hubs_declines_uniform_at_scale():
     col = rng.randint(0, n, e)
     ht = build_hub_tiles(row, col, n, candidates=(512, 1024))
     assert ht is None
+
+
+def community_hub_graph(n=800, e=4800, seed=11):
+    """Community-ordered graph with hub tail — the windowed+hub combo's
+    target shape (arxiv-like)."""
+    rng = np.random.RandomState(seed)
+    window = 64
+    comm = np.arange(n) // window
+    src = rng.randint(0, n, e)
+    r = rng.rand(e)
+    # 60% in-community, 25% hub, 15% uniform
+    in_comm = (comm[src] * window + rng.randint(0, window, e)) % n
+    hubs = rng.choice(n, 10, replace=False)
+    to_hub = hubs[rng.randint(0, 10, e)]
+    uni = rng.randint(0, n, e)
+    dst = np.where(r < 0.60, in_comm, np.where(r < 0.85, to_hub, uni))
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    order = np.lexsort((dst, src))
+    w = (rng.rand(len(src)) + 0.1).astype(np.float32)
+    return Graph.from_edges(src[order], dst[order], n,
+                            edge_weight=w[order])
+
+
+def test_windowed_hub_spmm_matches_dense(monkeypatch):
+    """Windowed strategy with hub extraction from the residual: values and
+    grads through make_fstate + laplacian RHS vs the edge-space path."""
+    from graphax.kernels import pallas_tiled, pallas_windows
+    from graphax.kernels.dispatch import attach_windows
+    from graphax.blocks.common import make_fstate
+    from graphax.functions import get_function
+    from graphax.functions.common import FuncState, prepare_scalars
+    from graphax.train import Config
+
+    monkeypatch.setattr(pallas_tiled, "FORCE", True)
+    monkeypatch.setattr(pallas_windows, "FORCE", True)
+    g0 = community_hub_graph()
+    g = attach_windows(g0, window=64, tile=8, block_edges=64)
+    assert g.windows.hub is not None, "hub extraction must engage"
+    hub_e = g.windows.hub.hub_edges
+    rest_e = int(np.asarray(g.windows.hub.rest.slot_mask).sum())
+    res_e = int(np.asarray(g.windows.residual.slot_mask).sum())
+    assert hub_e + rest_e == res_e      # hub+rest partition the residual
+    assert hub_e > 0
+
+    d = 6
+    cfg = Config(function="laplacian", hidden_dim=d, add_source=True)
+    f = get_function(cfg, d)
+    p = prepare_scalars(f.init(jax.random.PRNGKey(0)), cfg, jnp.float32)
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+
+    fs_win = make_fstate(g, x, train=False)
+    assert len(fs_win.wb) == 3                     # hub entry present
+    fs_edge = FuncState(graph=dataclasses.replace(g0, strategy="edge"),
+                        x0=x)
+    got = f.rhs(p, fs_win, 0.0, x)
+    want = f.rhs(p, fs_edge, 0.0, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(fn_state, xx):
+        return jnp.sum(f.rhs(p, fn_state, 0.0, xx) ** 2)
+
+    gx = jax.grad(loss, argnums=1)(fs_win, x)
+    rx = jax.grad(loss, argnums=1)(fs_edge, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=2e-4, atol=2e-4)
