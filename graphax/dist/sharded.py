@@ -499,3 +499,145 @@ def make_sharded_diffusion_step(mesh: Mesh, part: EdgePartition,
         return f
 
     return rhs
+
+
+# ----------------------------------------------------------------------
+# Hub-slab sharded SpMM (power-law graphs)
+# ----------------------------------------------------------------------
+
+def _relabeled_edges(part: EdgePartition):
+    """Per-shard edges of ``part`` in RELABELED global coordinates (node
+    g lives at slot g%Nb of shard g//Nb — partition_graph's post-relabel id
+    space). Halo cols map back through send_idx/halo_gather."""
+    import numpy as np
+
+    p, nb, hp = part.num_shards, part.block_size, part.pair_size
+    rows, cols, ws = [], [], []
+    for s in range(p):
+        m = part.edge_mask[s]
+        lr = part.local_row[s][m].astype(np.int64)
+        lc = part.local_col[s][m].astype(np.int64)
+        w = part.edge_weight[s][m]
+        # extended col -> relabeled global id
+        halo_flat = part.halo_gather[s]              # [H] = t*Hp + k
+        t_of = halo_flat // hp
+        k_of = halo_flat % hp
+        halo_global = t_of * nb + part.send_idx[t_of, s, k_of]
+        is_halo = lc >= nb
+        gcol = np.where(is_halo, halo_global[np.clip(lc - nb, 0, None)],
+                        s * nb + lc)
+        rows.append(s * nb + lr)
+        cols.append(gcol)
+        ws.append(w)
+    return (np.concatenate(rows), np.concatenate(cols), np.concatenate(ws))
+
+
+def sharded_spmm_hub(mesh: Mesh, part: EdgePartition,
+                     candidates=(128, 256, 512, 1024), tile: int = 8,
+                     axis_name: str = "graph"):
+    """Hub-slab sharded ``A @ x``: the top-in-degree columns' rows are
+    assembled once per NFE into a replicated ``[H, D]`` slab (one tiny
+    ``psum`` — H·D bytes instead of duplicating hub rows into every
+    shard's halo), hub edges ride a dense per-shard ``[T, tile, H]`` MXU
+    matmul (graphax.kernels.hubs single-chip layout, sharded), and the
+    hub-free remainder goes through a REBUILT halo exchange whose volume
+    shrinks by every column only hubs referenced. Falls back to
+    :func:`sharded_spmm_halo` (returns it unchanged) when the degree
+    distribution doesn't pay.
+
+    Static edge weights (the GRAND-l rw/gcn case); per-forward attention
+    values keep the halo/windowed strategies.
+    """
+    import numpy as np
+
+    from graphax.dist.partition import partition_graph
+    from graphax.sparse.graph import Graph
+
+    p, nb = part.num_shards, part.block_size
+    row_rel, col_rel, w_rel = _relabeled_edges(part)
+    n_rel = p * nb
+
+    # global hub selection in relabeled space (permutation-invariant)
+    indeg = np.bincount(col_rel, minlength=n_rel)
+    order = np.argsort(indeg)[::-1]
+    cum = np.cumsum(indeg[order])
+    t_loc = (nb + tile - 1) // tile
+    from graphax.kernels.hubs import GATHER_NS_PER_EDGE, HBM_GBPS
+
+    best_h, best_gain = None, 0.0
+    for h in candidates:
+        if h > n_rel:
+            break
+        covered = float(cum[h - 1])
+        gain = (covered * GATHER_NS_PER_EDGE * 1e-9
+                - t_loc * tile * h * 2 / (HBM_GBPS * 1e9))
+        if gain > best_gain:
+            best_h, best_gain = h, gain
+    if best_h is None:
+        return sharded_spmm_halo(mesh, part, axis_name=axis_name)
+
+    h = best_h
+    hub_ids = np.sort(order[:h])
+    rank = np.full(n_rel, -1, np.int64)
+    rank[hub_ids] = np.arange(h)
+    is_hub = rank[col_rel] >= 0
+
+    # rebuilt halo partition over the hub-free remainder — same block
+    # layout (contiguous over the relabeled space), smaller halo
+    g_rest = Graph.from_edges(row_rel[~is_hub], col_rel[~is_hub], n_rel,
+                              edge_weight=w_rel[~is_hub])
+    part_rest = partition_graph(g_rest, p)
+    assert part_rest.block_size == nb, \
+        (part_rest.block_size, nb)
+    rest_f = sharded_spmm_halo(mesh, part_rest, axis_name=axis_name)
+
+    # per-shard dense hub operator blocks (static weights -> densify here)
+    nbp = t_loc * tile
+    dense_hub = np.zeros((p, nbp, h), np.float32)
+    sh = row_rel[is_hub] // nb
+    lrh = row_rel[is_hub] % nb
+    rkh = rank[col_rel[is_hub]]
+    np.add.at(dense_hub, (sh, lrh, rkh), w_rel[is_hub])
+    dense_hub_j = jnp.asarray(dense_hub)
+
+    # slab assembly: which of my local slots are hubs (owner = id // Nb)
+    own_counts = np.bincount(hub_ids // nb, minlength=p)
+    ho = max(int(own_counts.max()), 1)
+    own_slot = np.zeros((p, ho), np.int32)
+    own_rank = np.zeros((p, ho), np.int32)
+    own_mask = np.zeros((p, ho), bool)
+    for s in range(p):
+        mine = hub_ids[(hub_ids // nb) == s]
+        own_slot[s, :len(mine)] = mine % nb
+        own_rank[s, :len(mine)] = rank[mine]
+        own_mask[s, :len(mine)] = True
+    own_slot_j = jnp.asarray(own_slot)
+    own_rank_j = jnp.asarray(own_rank)
+    own_mask_j = jnp.asarray(own_mask)
+
+    gspec = P(axis_name)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(gspec, gspec, (gspec, gspec, gspec)),
+        out_specs=gspec)
+    def hub_part(xs, dense, own):
+        x_local = xs[0]
+        oslot, orank, omask = tuple(a[0] for a in own)
+        d = x_local.shape[-1]
+        contrib = jnp.where(omask[:, None], x_local[oslot], 0)
+        slab = jnp.zeros((h, d), x_local.dtype).at[orank].add(contrib)
+        slab = jax.lax.psum(slab, axis_name)         # [H, D] replicated
+        out = jnp.matmul(dense[0].astype(x_local.dtype), slab,
+                         preferred_element_type=jnp.float32)  # [nbp, D]
+        return out[None, :nb].astype(x_local.dtype)
+
+    def f(xs):
+        hub_out = hub_part(xs, dense_hub_j,
+                           (own_slot_j, own_rank_j, own_mask_j))
+        return (rest_f(xs) + hub_out).astype(xs.dtype)
+
+    f.hub_size = h
+    f.halo_before = part.halo_size
+    f.halo_after = part_rest.halo_size
+    return f
