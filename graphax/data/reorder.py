@@ -68,11 +68,13 @@ def community_reorder(data: GraphData, window: int = 512, tile: int = 128,
                                block_edges=block_edges)
     if (min_in_window_frac > 0 and e > 0
             and new_graph.windows.in_window_edges / e < min_in_window_frac):
+        from graphax.kernels.hubs import attach_hubs
+
         new_graph = dataclasses.replace(
-            attach_tiles(Graph.from_edges(r2[order], c2[order], n,
-                                          weight[order],
-                                          edge_buffer_size=g.edge_buffer_size),
-                         tile=tile),
+            attach_hubs(attach_tiles(
+                Graph.from_edges(r2[order], c2[order], n, weight[order],
+                                 edge_buffer_size=g.edge_buffer_size),
+                tile=tile), tile=tile),
             strategy="tiled")
 
     inv = np.argsort(perm)  # inv[new_id] = old_id

@@ -131,7 +131,8 @@ def build_graph(row, col, num_nodes: int, edge_weight=None,
                 extra_edge_capacity: int = 0,
                 tiles: bool = False,
                 strategy: str = "auto",
-                dense_threshold: int = 20_000) -> Graph:
+                dense_threshold: int = 20_000,
+                hubs: bool = True) -> Graph:
     """One-stop host-side pipeline: [undirected] → [self-loops] → coalesce →
     sort by (row, col) → pad to a static bucket → Graph.
 
@@ -165,6 +166,12 @@ def build_graph(row, col, num_nodes: int, edge_weight=None,
         g = attach_tiles(g)
         if strategy == "auto" or strategy == "tiled":
             strategy = "tiled"
+        if hubs:
+            # hub-slab layout for power-law graphs (kernels.hubs) — the
+            # cost model declines when the degree distribution doesn't pay
+            from graphax.kernels.hubs import attach_hubs
+
+            g = attach_hubs(g)
     import dataclasses as _dc
 
     return _dc.replace(g, strategy=strategy)
