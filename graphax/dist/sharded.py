@@ -534,7 +534,7 @@ def _relabeled_edges(part: EdgePartition):
 
 def sharded_spmm_hub(mesh: Mesh, part: EdgePartition,
                      candidates=(128, 256, 512, 1024), tile: int = 8,
-                     axis_name: str = "graph"):
+                     axis_name: str = "graph", force: bool = False):
     """Hub-slab sharded ``A @ x``: the top-in-degree columns' rows are
     assembled once per NFE into a replicated ``[H, D]`` slab (one tiny
     ``psum`` — H·D bytes instead of duplicating hub rows into every
@@ -564,17 +564,28 @@ def sharded_spmm_hub(mesh: Mesh, part: EdgePartition,
     t_loc = (nb + tile - 1) // tile
     from graphax.kernels.hubs import GATHER_NS_PER_EDGE, HBM_GBPS
 
+    # per-chip gain: padded edge slots the straggler shard sheds (the
+    # sharded tables pad every shard to the max shard's edge count) minus
+    # the dense hub block streaming cost
+    owner_of = row_rel // nb
+    full_max = int(np.bincount(owner_of, minlength=p).max())
     best_h, best_gain = None, 0.0
-    for h in candidates:
-        if h > n_rel:
+    for h_c in candidates:
+        if h_c > n_rel:
             break
-        covered = float(cum[h - 1])
-        gain = (covered * GATHER_NS_PER_EDGE * 1e-9
-                - t_loc * tile * h * 2 / (HBM_GBPS * 1e9))
+        hub_cols = order[:h_c]
+        is_h = np.zeros(n_rel, bool)
+        is_h[hub_cols] = True
+        keep_rest = ~is_h[col_rel]
+        rest_max = int(np.bincount(owner_of[keep_rest], minlength=p).max())
+        gain = ((full_max - rest_max) * GATHER_NS_PER_EDGE * 1e-9
+                - t_loc * tile * h_c * 2 / (HBM_GBPS * 1e9))
         if gain > best_gain:
-            best_h, best_gain = h, gain
+            best_h, best_gain = h_c, gain
     if best_h is None:
-        return sharded_spmm_halo(mesh, part, axis_name=axis_name)
+        if not force:
+            return sharded_spmm_halo(mesh, part, axis_name=axis_name)
+        best_h = [h_c for h_c in candidates if h_c <= n_rel][-1]
 
     h = best_h
     hub_ids = np.sort(order[:h])

@@ -63,7 +63,7 @@ def attach_tiles(graph, tile: int = 128, block_edges: int = None,
 
 
 def attach_windows(graph, window: int = 512, tile: int = 128,
-                   block_edges: int = 2048):
+                   block_edges: int = 2048, hubs=True):
     """Return a copy of ``graph`` carrying the windowed (block-dense)
     layout plus the row-tiled layouts (host-side preprocessing; edge
     buffers must be sorted by row, node ids ideally community-ordered —
@@ -82,7 +82,8 @@ def attach_windows(graph, window: int = 512, tile: int = 128,
     row = np.asarray(graph.row)[:e]
     col = np.asarray(graph.col)[:e]
     wt = build_window_tiles(row, col, graph.num_nodes, tile=tile,
-                            window=window, block_edges=block_edges)
+                            window=window, block_edges=block_edges,
+                            hubs=hubs)
     return dataclasses.replace(g, windows=wt, strategy="windowed")
 
 

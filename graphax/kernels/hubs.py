@@ -64,14 +64,30 @@ class HubTiles:
 
 # measured v5e constants for the H-selection cost model (the choice is a
 # shallow optimum — being 2x off on either constant shifts H by at most one
-# candidate step)
-GATHER_NS_PER_EDGE = 3.9
+# candidate step). The gather cost is per padded SLOT of the row-tiled
+# layout, not per edge: padded slots fetch a granule like real ones
+# (measured: removing 30% of edges without changing the slot count leaves
+# the gather time identical).
+GATHER_NS_PER_SLOT = 4.3
+GATHER_NS_PER_EDGE = GATHER_NS_PER_SLOT  # back-compat alias
 HBM_GBPS = 700.0
+
+
+def _layout_slots(row, num_nodes: int, tile: int) -> int:
+    """Padded gather slots of the auto-sized row-tiled layout for these
+    edges — what the tiled SpMM actually pays per NFE."""
+    from graphax.kernels.tiles import choose_block_edges
+
+    t = (num_nodes + tile - 1) // tile
+    deg = np.bincount(row // tile, minlength=t)
+    eb = choose_block_edges(row, num_nodes, tile=tile)
+    return int((np.maximum((deg + eb - 1) // eb, 0)).sum()) * eb
 
 
 def build_hub_tiles(row, col, num_nodes: int, num_edges: int = None,
                     tile: int = 128, candidates=(128, 256, 512, 1024),
-                    dtype_bytes: int = 2, block_edges: int = 2048):
+                    dtype_bytes: int = 2, block_edges: int = 2048,
+                    force: bool = False):
     """Pick H from ``candidates`` maximizing modeled per-NFE gain
     (covered_edges·t_gather − T·tile·H·bytes/HBM); None when no H pays.
 
@@ -81,43 +97,56 @@ def build_hub_tiles(row, col, num_nodes: int, num_edges: int = None,
     e = int(num_edges) if num_edges is not None else row.shape[0]
     return _build_hub_tiles(row[:e], col[:e], np.arange(e, dtype=np.int64),
                             num_nodes, tile, candidates, dtype_bytes,
-                            block_edges)
+                            block_edges, force=force)
 
 
 def build_hub_tiles_subset(row, col, edge_ids, num_nodes: int,
                            tile: int = 128,
                            candidates=(128, 256, 512, 1024),
-                           dtype_bytes: int = 2, block_edges: int = 2048):
+                           dtype_bytes: int = 2, block_edges: int = 2048,
+                           force: bool = False):
     """Hub layout over a SUBSET of a graph's edges (e.g. the windowed
     strategy's out-of-window residual). ``edge_ids[i]`` is the original
     edge index of subset edge i, so the produced ``edge_slot`` tables
     index the full [E] value vector."""
     return _build_hub_tiles(np.asarray(row), np.asarray(col),
                             np.asarray(edge_ids, np.int64), num_nodes,
-                            tile, candidates, dtype_bytes, block_edges)
+                            tile, candidates, dtype_bytes, block_edges,
+                            force=force)
 
 
 def _build_hub_tiles(row, col, edge_ids, num_nodes, tile, candidates,
-                     dtype_bytes, block_edges):
+                     dtype_bytes, block_edges, force=False):
     assert (np.diff(row) >= 0).all(), "edges must be sorted by row"
 
     t = (num_nodes + tile - 1) // tile
     indeg = np.bincount(col, minlength=num_nodes)
     order = np.argsort(indeg)[::-1]                 # hottest cols first
-    cum = np.cumsum(indeg[order])
 
+    # slot-aware gain: what matters is how many padded gather SLOTS the
+    # rest layout sheds, not how many edges the hubs cover — per-tile
+    # padding quantizes to the block size, so moderate coverage can shed
+    # nothing (measured; see GATHER_NS_PER_SLOT note)
+    slots_full = _layout_slots(row, num_nodes, tile)
     best_h, best_gain = None, 0.0
     for h in candidates:
         if h > num_nodes:
             break
-        covered = float(cum[h - 1])
-        t_saved = covered * GATHER_NS_PER_EDGE * 1e-9
+        hub_cols = order[:h]
+        is_h = np.zeros(num_nodes, bool)
+        is_h[hub_cols] = True
+        rest_rows = row[~is_h[col]]
+        slots_rest = _layout_slots(rest_rows, num_nodes, tile) \
+            if rest_rows.size else 0
+        t_saved = (slots_full - slots_rest) * GATHER_NS_PER_SLOT * 1e-9
         t_stream = t * tile * h * dtype_bytes / (HBM_GBPS * 1e9)
         gain = t_saved - t_stream
         if gain > best_gain:
             best_h, best_gain = h, gain
     if best_h is None:
-        return None
+        if not force:
+            return None
+        best_h = [h for h in candidates if h <= num_nodes][-1]
 
     h = best_h
     hub_ids = np.sort(order[:h]).astype(np.int64)
@@ -184,13 +213,14 @@ def _build_hub_tiles(row, col, edge_ids, num_nodes, tile, candidates,
         hub_size=h, num_tiles=t, tile=tile, num_nodes=int(num_nodes))
 
 
-def attach_hubs(graph, tile: int = 128, candidates=(128, 256, 512, 1024)):
+def attach_hubs(graph, tile: int = 128, candidates=(128, 256, 512, 1024),
+                force: bool = False):
     """Return a copy of ``graph`` carrying the hub layout (None when the
     degree distribution doesn't pay for it). Compose after
     ``dispatch.attach_tiles``."""
     ht = build_hub_tiles(graph.row, graph.col, graph.num_nodes,
                          num_edges=int(graph.num_edges), tile=tile,
-                         candidates=candidates)
+                         candidates=candidates, force=force)
     return dataclasses.replace(graph, hubs=ht)
 
 

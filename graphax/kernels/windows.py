@@ -189,7 +189,8 @@ def build_window_tiles(row, col, num_nodes: int, num_edges: int = None,
         from graphax.kernels.hubs import build_hub_tiles_subset
 
         hub_tiles = build_hub_tiles_subset(r_res, c_res, idx_res, num_nodes,
-                                           tile=tile)
+                                           tile=tile,
+                                           force=(hubs == "force"))
 
     # static cell-occupancy mask of the in-window dense blocks (edges are
     # coalesced, so cells are unique) — serves the windowed attention path

@@ -47,7 +47,7 @@ def test_build_hub_tiles_selection():
     g = powerlaw_graph()
     ht = build_hub_tiles(g.row, g.col, g.num_nodes,
                          num_edges=int(g.num_edges), tile=8,
-                         candidates=(16, 32))
+                         candidates=(16, 32), force=True)
     assert ht is not None
     # hub edges + rest edges partition the edge set
     rest_e = int(np.asarray(ht.rest.slot_mask).sum())
@@ -68,7 +68,7 @@ def test_spmm_hub_tiled_matches_dense(monkeypatch):
     g = powerlaw_graph(seed=3)
     ht = build_hub_tiles(g.row, g.col, g.num_nodes,
                          num_edges=int(g.num_edges), tile=8,
-                         candidates=(16,))
+                         candidates=(16,), force=True)
     rng = np.random.RandomState(4)
     d = 5
     x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
@@ -87,7 +87,7 @@ def test_spmm_hub_gradients(monkeypatch):
     g = powerlaw_graph(n=200, e=900, seed=5)
     ht = build_hub_tiles(g.row, g.col, g.num_nodes,
                          num_edges=int(g.num_edges), tile=8,
-                         candidates=(16,))
+                         candidates=(16,), force=True)
     rng = np.random.RandomState(6)
     d = 4
     x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
@@ -131,7 +131,7 @@ def test_laplacian_rhs_dispatches_hubs(monkeypatch):
     monkeypatch.setattr(pallas_tiled, "FORCE", True)
     monkeypatch.setattr(pallas_windows, "FORCE", True)
     g = powerlaw_graph(seed=7)
-    gh = attach_hubs(g, tile=8, candidates=(16,))
+    gh = attach_hubs(g, tile=8, candidates=(16,), force=True)
     assert gh.hubs is not None
     d = 6
     cfg = Config(function="laplacian", hidden_dim=d, add_source=True)
@@ -203,7 +203,8 @@ def test_windowed_hub_spmm_matches_dense(monkeypatch):
     monkeypatch.setattr(pallas_tiled, "FORCE", True)
     monkeypatch.setattr(pallas_windows, "FORCE", True)
     g0 = community_hub_graph()
-    g = attach_windows(g0, window=64, tile=8, block_edges=64)
+    g = attach_windows(g0, window=64, tile=8, block_edges=64,
+                       hubs="force")
     assert g.windows.hub is not None, "hub extraction must engage"
     hub_e = g.windows.hub.hub_edges
     rest_e = int(np.asarray(g.windows.hub.rest.slot_mask).sum())
@@ -256,7 +257,8 @@ def test_sharded_spmm_hub_parity():
     for p in (2, 4):
         part = partition_graph(g, p)
         mesh = Mesh(np.asarray(jax.devices()[:p]), ("graph",))
-        f = sharded_spmm_hub(mesh, part, candidates=(16, 32), tile=8)
+        f = sharded_spmm_hub(mesh, part, candidates=(16, 32), tile=8,
+                             force=True)
         assert getattr(f, "hub_size", 0) > 0
         assert f.halo_after < f.halo_before      # halo actually shrank
         xs = jnp.asarray(shard_nodes(x, part))
@@ -292,3 +294,24 @@ def test_sharded_spmm_hub_fallback_uniform():
     xs = jnp.asarray(shard_nodes(x, part))
     got = unshard_nodes(np.asarray(f(xs)), part)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+
+def test_hub_gate_is_slot_aware():
+    """The H-selection gain counts padded gather SLOTS shed by the rest
+    layout, not covered edges: at arxiv-like per-tile degrees, 30% hub
+    coverage sheds no block quanta (declines) while ~55% crosses the
+    block-size boundary (engages)."""
+    rng = np.random.RandomState(31)
+    n = 169_343
+    row = np.sort(rng.randint(0, n, n * 14))
+
+    def cols(hub_frac):
+        hubs = rng.choice(n, 512, replace=False)
+        pick = rng.rand(len(row)) < hub_frac
+        return np.where(pick, hubs[rng.randint(0, 512, len(row))],
+                        rng.randint(0, n, len(row)))
+
+    assert build_hub_tiles(row, cols(0.30), n) is None
+    ht = build_hub_tiles(row, cols(0.55), n)
+    assert ht is not None and ht.hub_size >= 128
