@@ -158,9 +158,12 @@ def main(out_path="SCALING.md", measured_path=None):
         f.write(
             "Hardware: one v5e chip is available, so multi-chip numbers are\n"
             "(a) **exact communication volumes** from the partition tables,\n"
-            "(b) an **analytic per-NFE model** anchored to the measured\n"
-            f"single-chip SpMM RHS ({T_SPMM_1CHIP*1e3:.1f} ms at ogbn-arxiv "
-            "scale, bench.py),\n"
+            "(b) per-shard local compute T_comp — rows marked (measured)\n"
+            "are timed ON THE REAL CHIP by building the straggler shard's\n"
+            "halo-extended tiled SpMM from the actual partition tables\n"
+            "(scripts/measure_shard_comp.py); unmarked rows use the\n"
+            "analytic slots-scaled model anchored to the measured\n"
+            f"single-chip SpMM RHS ({T_SPMM_1CHIP*1e3:.1f} ms, bench.py),\n"
             f"assuming {ICI_BW/1e9:.0f} GB/s one-way ICI per chip, and\n"
             "(c) **numerical parity** of the sharded path on a virtual CPU "
             "mesh.\n\n"
