@@ -50,7 +50,8 @@ class RowTiles:
 
 def choose_block_edges(row, num_nodes: int, num_edges: int = None,
                        tile: int = 128,
-                       candidates=(512, 1024, 2048, 4096),
+                       candidates=(512, 768, 1024, 1280, 1536, 1792, 2048,
+                                   2560, 3072, 4096),
                        block_overhead_slots: int = 300) -> int:
     """Pick the block size minimizing modeled per-NFE cost.
 

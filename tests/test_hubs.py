@@ -299,9 +299,10 @@ def test_sharded_spmm_hub_fallback_uniform():
 
 def test_hub_gate_is_slot_aware():
     """The H-selection gain counts padded gather SLOTS shed by the rest
-    layout, not covered edges: at arxiv-like per-tile degrees, 30% hub
-    coverage sheds no block quanta (declines) while ~55% crosses the
-    block-size boundary (engages)."""
+    layout, not covered edges: at arxiv-like per-tile degrees, ~5% hub
+    coverage leaves the rest layout's auto block size (and so its slot
+    count) unchanged (declines), while 30%+ drops it to a finer block
+    size and sheds real slots (engages)."""
     rng = np.random.RandomState(31)
     n = 169_343
     row = np.sort(rng.randint(0, n, n * 14))
@@ -312,6 +313,18 @@ def test_hub_gate_is_slot_aware():
         return np.where(pick, hubs[rng.randint(0, 512, len(row))],
                         rng.randint(0, n, len(row)))
 
-    assert build_hub_tiles(row, cols(0.30), n) is None
-    ht = build_hub_tiles(row, cols(0.55), n)
+    # hub-skewed: with the finer block-size candidates even 5% coverage
+    # sheds a block quantum (Eb 2048 -> 1792); 30% sheds far more
+    ht5 = build_hub_tiles(row, cols(0.05), n)
+    assert ht5 is not None
+    ht = build_hub_tiles(row, cols(0.30), n)
     assert ht is not None and ht.hub_size >= 128
+    from graphax.kernels.hubs import _layout_slots
+
+    # the engaged layout really holds fewer gather slots than the full one
+    full = _layout_slots(row, n, 128)
+    rest_slots = int(np.prod(np.asarray(ht.rest.edge_slot).shape))
+    assert rest_slots < full
+    # uniform in-degree: nothing to shed (decline) — see also
+    # test_attach_hubs_declines_uniform_at_scale
+    assert build_hub_tiles(row, rng.randint(0, n, len(row)), n) is None
