@@ -70,7 +70,7 @@ class HubTiles:
 # the gather time identical).
 GATHER_NS_PER_SLOT = 4.3
 GATHER_NS_PER_EDGE = GATHER_NS_PER_SLOT  # back-compat alias
-HBM_GBPS = 700.0
+HBM_GBPS = 520.0  # measured stream peak (bench.py measure_peaks)
 
 
 def _layout_slots(row, num_nodes: int, tile: int) -> int:
