@@ -288,6 +288,8 @@ FORCE = False
 
 
 def pallas_winatt_ok(cfg, graph, x) -> bool:
+    # (Beltrami stays on the XLA windowed path — kernels.windowed_attention)
     return (graph.strategy == "windowed" and graph.windows is not None
             and not cfg.square_plus and x.ndim == 2
+            and not (cfg.beltrami and cfg.attention_type == "exp_kernel")
             and (jax.default_backend() == "tpu" or FORCE))

@@ -23,9 +23,10 @@ probabilities and aggregation in the state dtype. Softmax is shift-
 invariant so the global (vs per-segment) shift is exact; squareplus is
 not, and the reference shifts by the global max (`src/utils.py:129-140`).
 
-Scope (same as the fused tiled path): head-mean aggregation, row
-normalization, all four score types, softmax or squareplus; plus
-pre-softmax edge reweighting via the densified weight blocks. Fully
+Scope: head-mean aggregation, row normalization, all four score types
+plus the Beltrami product-of-Gaussians scores (feat/pos split — round 2),
+softmax or squareplus; plus pre-softmax edge reweighting via the densified
+weight blocks. Fully
 differentiable (XLA ops + the custom-vjp window matmul), so it serves
 training and eval alike.
 """
@@ -67,9 +68,34 @@ def _unit(z, eps=1e-5):
 
 def _dense_scores_head(cfg, p, qt, kt, h):
     """Masked-cell dense scores of head ``h``: [T, tile, W] f32 (mask NOT
-    yet applied). ``qt``: [T, tile, H, dk]; ``kt``: [T, W, H, dk]."""
-    q_h, k_h = qt[:, :, h], kt[:, :, h]
-    d_k = q_h.shape[-1]
+    yet applied). ``qt``: [T, tile, A(+A)]; ``kt``: [T, W, A(+A)] — raw
+    projection width; heads are sliced here. Beltrami carries the
+    concatenated [feat-A | pos-A] projections and multiplies the two
+    Gaussian kernels (`src/function_transformer_attention.py:205-222`)."""
+    heads = cfg.heads
+
+    def _sq_head(qp, kp):
+        qf = qp.astype(jnp.float32)
+        kf = kp.astype(jnp.float32)
+        return (jnp.sum(qf * qf, -1)[:, :, None]
+                + jnp.sum(kf * kf, -1)[:, None, :]
+                - 2.0 * jnp.einsum("trd,twd->trw", qf, kf,
+                                   preferred_element_type=jnp.float32))
+
+    if cfg.beltrami and cfg.attention_type == "exp_kernel":
+        a = qt.shape[-1] // 2
+        d_k = a // heads
+        sl = slice(h * d_k, (h + 1) * d_k)
+        sq_x = _sq_head(qt[..., :a][..., sl], kt[..., :a][..., sl])
+        sq_p = _sq_head(qt[..., a:][..., sl], kt[..., a:][..., sl])
+        return (p["output_var_x"] ** 2
+                * jnp.exp(-sq_x / (2 * p["lengthscale_x"] ** 2))
+                * p["output_var_p"] ** 2
+                * jnp.exp(-sq_p / (2 * p["lengthscale_p"] ** 2)))
+
+    d_k = qt.shape[-1] // heads
+    sl = slice(h * d_k, (h + 1) * d_k)
+    q_h, k_h = qt[..., sl], kt[..., sl]
     if cfg.attention_type == "scaled_dot":
         return jnp.einsum("trd,twd->trw", q_h, k_h,
                           preferred_element_type=jnp.float32) / \
@@ -80,12 +106,7 @@ def _dense_scores_head(cfg, p, qt, kt, h):
         return jnp.einsum("trd,twd->trw", _unit(q_h), _unit(k_h),
                           preferred_element_type=jnp.float32)
     if cfg.attention_type == "exp_kernel":
-        qf = q_h.astype(jnp.float32)
-        kf = k_h.astype(jnp.float32)
-        sq = (jnp.sum(qf * qf, -1)[:, :, None]
-              + jnp.sum(kf * kf, -1)[:, None, :]
-              - 2.0 * jnp.einsum("trd,twd->trw", qf, kf,
-                                 preferred_element_type=jnp.float32))
+        sq = _sq_head(q_h, k_h)
         if "_ov2" in p:
             return p["_ov2"] * jnp.exp(-sq * p["_inv2l2"])
         return p["output_var"] ** 2 * jnp.exp(-sq / (2 * p["lengthscale"] ** 2))
@@ -100,8 +121,15 @@ def _residual_scores(cfg, p, tiles, x, q, edge_weight):
     d_k = cfg.attention_dim // heads
     dt = x.dtype
     oh = _onehot(tiles, dt)
-    q_b = _broadcast_rows(oh, q, tiles)                    # [B, Eb, att]
     xg = x[tiles.col]                                      # [B, Eb, D]
+    if cfg.beltrami and cfg.attention_type == "exp_kernel":
+        from graphax.kernels.fused_attention import _beltrami_scores
+
+        s = _beltrami_scores(cfg, p, tiles, oh, x, xg)
+        if cfg.reweight_attention and edge_weight is not None:
+            s = s * edge_weight.astype(s.dtype)[tiles.edge_slot][..., None]
+        return jnp.where(tiles.slot_mask[..., None], s, NEG), oh, xg
+    q_b = _broadcast_rows(oh, q, tiles)                    # [B, Eb, att]
     kw = p["K"]["w"].astype(dt)
     kb = p["K"]["b"].astype(dt)
     k_b = jnp.einsum("bed,da->bea", xg, kw,
@@ -153,11 +181,19 @@ def windowed_attention_ax(cfg, att_params, graph, x, dense_weight=None):
     heads = cfg.heads
     dt = x.dtype
 
-    q = linear_apply(p["Q"], x).astype(dt)                 # [N, att]
-    k = linear_apply(p["K"], x).astype(dt)
-    d_k = cfg.attention_dim // heads
-    qt = _tile_view(q, wt).reshape(wt.num_tiles, wt.tile, heads, d_k)
-    kt = _win_view(k, wt).reshape(wt.num_tiles, wt.window, heads, d_k)
+    if cfg.beltrami and cfg.attention_type == "exp_kernel":
+        fh, ph = cfg.feat_hidden_dim, cfg.pos_enc_hidden_dim
+        featx = jnp.concatenate([x[:, :fh], x[:, fh + ph:]], axis=1)
+        posx = x[:, fh:fh + ph]
+        q = jnp.concatenate([linear_apply(p["Qx"], featx),
+                             linear_apply(p["Qp"], posx)], -1).astype(dt)
+        k = jnp.concatenate([linear_apply(p["Kx"], featx),
+                             linear_apply(p["Kp"], posx)], -1).astype(dt)
+    else:
+        q = linear_apply(p["Q"], x).astype(dt)             # [N, att]
+        k = linear_apply(p["K"], x).astype(dt)
+    qt = _tile_view(q, wt)                                 # [T, tile, A(+A)]
+    kt = _win_view(k, wt)                                  # [T, W, A(+A)]
 
     s_res, oh, xg = _residual_scores(cfg, p, wt.residual, x, q,
                                      graph.edge_weight)
@@ -242,9 +278,9 @@ def windowed_attention_ax(cfg, att_params, graph, x, dense_weight=None):
 
 
 def windowed_att_applicable(cfg, graph) -> bool:
-    # (norm_idx=1 / Beltrami configs route to the tiled fused path, which
-    # covers them via the transpose layout — see fused_attention.py)
+    # (norm_idx=1 routes to the tiled fused path, which covers it via the
+    # transpose layout — see fused_attention.py; Beltrami rides the XLA
+    # windowed path here, the Pallas winatt kernel gates it out)
     return (graph.strategy == "windowed" and graph.windows is not None
             and not cfg.mix_features and not cfg.multi_modal
-            and cfg.attention_norm_idx == 0
-            and not (cfg.beltrami and cfg.attention_type == "exp_kernel"))
+            and cfg.attention_norm_idx == 0)

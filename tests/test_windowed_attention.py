@@ -211,3 +211,34 @@ def test_rhs_routes_through_windowed_attention(monkeypatch):
     want = func.rhs(p, fs_edge, 0.0, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("square_plus", [False, True])
+def test_windowed_beltrami_matches_edge_path(square_plus):
+    """Round 2: Beltrami product-of-Gaussians scores on the windowed XLA
+    path (dense per-head kernels over the concatenated feat|pos
+    projections + residual via the fused block scores) vs the edge-space
+    oracle."""
+    d = 4 + 3 + 2  # fh + ph + label cols
+    cfg = _cfg(attention_type="exp_kernel", beltrami=True,
+               feat_hidden_dim=4, pos_enc_hidden_dim=3, pos_enc_dim=3,
+               hidden_dim=d, square_plus=square_plus)
+    g = clustered_graph()
+    rng = np.random.RandomState(17)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    p = transformer_attention_init(jax.random.PRNGKey(0), cfg, d)
+    keys = jax.random.split(jax.random.PRNGKey(18), 8)
+    for i, name in enumerate(("Qx", "Kx", "Qp", "Kp")):
+        p[name] = {"w": 0.5 * jax.random.normal(keys[i], p[name]["w"].shape),
+                   "b": 0.1 * jax.random.normal(keys[4 + i],
+                                                p[name]["b"].shape)}
+    p["output_var_x"] = jnp.asarray(1.2)
+    p["lengthscale_x"] = jnp.asarray(0.8)
+    p["output_var_p"] = jnp.asarray(0.9)
+    p["lengthscale_p"] = jnp.asarray(1.1)
+
+    assert windowed_att_applicable(cfg, g)
+    got = windowed_attention_ax(cfg, p, g, x)
+    want = _edge_ax(cfg, p, g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-5)
