@@ -49,6 +49,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from graphax.dist.mesh import HAS_VMA, ensure_varying_tree
 from graphax.dist.partition import EdgePartition
 from graphax.dist.sharded import halo_exchange
 from graphax.functions.common import apply_alpha_beta, prepare_scalars
@@ -370,9 +371,16 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                 return _rhs(p["prep"], {"vals": p["vals"], "x0": p["x0"]},
                             tbl, t, y)
 
+            # vma_axes: `prep` may hold leaves derived purely from config
+            # constants (unvarying even after the loss_fn-entry cast); the
+            # solver casts every custom-VJP input to varying so the bwd
+            # rule's per-shard cotangents match the primal types under
+            # strict vma checking (cast transposes psum into constants —
+            # discarded — or are no-ops for params-derived leaves).
             res = odeint_adjoint(
                 f_adj, {"prep": prep, "vals": vals, "x0": z0}, x0, 0.0,
-                t_end, adjoint_method=cfg.adjoint_method,
+                t_end, vma_axes=(axis_name,),
+                adjoint_method=cfg.adjoint_method,
                 adjoint_rtol=cfg.rtol_adjoint, adjoint_atol=cfg.atol_adjoint,
                 adjoint_step_size=cfg.adjoint_step_size,
                 adjoint_norm_fn=adj_norm_fn, **common)
@@ -514,13 +522,23 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         pl = pos[0] if cfg.beltrami else None
 
         def loss_fn(p):
+            # Cast the replicated params to "varying" over the graph axis.
+            # Forward values are unchanged; the cast's transpose psums the
+            # parameter cotangents, so grads below are already the global
+            # (summed-over-shards) gradient AND the custom-VJP adjoint's
+            # per-shard cotangents type-check under strict vma shard_map
+            # (every input to the custom_vjp is varying, matching its bwd
+            # outputs). See dist.mesh.ensure_varying_tree.
+            p = ensure_varying_tree(p, axis_name)
             logits, new_state, res = _forward(p, state, tl, x, pl, rng,
                                               train=True)
             return _masked_ce(logits, y, m), (new_state, res.nfe)
 
         (loss, (new_state, nfe)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        grads = jax.lax.psum(grads, axis_name)
+        if not HAS_VMA:
+            # pre-vma JAX: cotangents stay per-shard — reduce here instead
+            grads = jax.lax.psum(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
         return params, new_state, opt_state, loss, nfe

@@ -471,7 +471,8 @@ def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
                    adjoint_rtol: float = 1e-9, adjoint_atol: float = 1e-7,
                    adjoint_step_size: float = 1.0,
                    norm_fn=None, adjoint_norm_fn=None,
-                   record_bwd_nfe: bool = True) -> ODEResult:
+                   record_bwd_nfe: bool = True,
+                   vma_axes: tuple = ()) -> ODEResult:
     """O(1)-memory gradients through the solve via the continuous adjoint.
 
     Equivalent of the reference's `odeint_adjoint` path selected by
@@ -486,7 +487,22 @@ def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
     reports its NFE through a host callback readable via
     :func:`last_adjoint_bwd_nfe` (the reference's `bm` meter,
     `src/graph_datasets/run_GNN.py:90-95`).
+
+    ``vma_axes``: mesh axis names when called inside ``shard_map``. The
+    custom-VJP bwd rule computes *per-shard* cotangents; strict shard_map
+    vma checking requires the cotangent type to match the primal input's.
+    Passing the axis names casts every ``params``/``y0`` leaf to "varying"
+    first, so the contract holds on any JAX. For a leaf that was replicated,
+    the cast's transpose psums its cotangent over the axes — the gradient
+    returned to the caller is then already globally reduced; do NOT psum it
+    again outside.
     """
+    if vma_axes:
+        from graphax.dist.mesh import ensure_varying_tree
+
+        for _ax in vma_axes:
+            params = ensure_varying_tree(params, _ax)
+            y0 = ensure_varying_tree(y0, _ax)
     solve_kwargs = dict(method=method, rtol=rtol, atol=atol,
                         step_size=step_size, max_nfe=max_nfe,
                         max_steps=max_steps, norm_fn=norm_fn)
