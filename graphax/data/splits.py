@@ -29,8 +29,12 @@ def set_train_val_test_split(seed: int, y: np.ndarray,
     rnd_state = np.random.RandomState(seed)  # re-seeded, as in the reference
     for c in range(int(y.max()) + 1):
         class_idx = development_idx[np.where(y[development_idx] == c)[0]]
-        train_idx.extend(rnd_state.choice(class_idx, num_per_class,
-                                          replace=False))
+        # identical to the reference whenever the pool holds >= num_per_class
+        # members of the class (always true on the real datasets); the clamp
+        # only keeps tiny fixture/synthetic graphs from raising
+        k = min(num_per_class, len(class_idx))
+        if k > 0:
+            train_idx.extend(rnd_state.choice(class_idx, k, replace=False))
 
     train_set = set(int(i) for i in train_idx)
     val_idx = [i for i in development_idx if int(i) not in train_set]
