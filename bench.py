@@ -6,7 +6,9 @@ scales:
 - **ogbn-arxiv scale** (169,343 nodes / ~2.3M directed edges, the
   reference's largest workload, `src/best_params.py:7`): the row-tiled MXU
   strategy (graphax.kernels) for both the SpMM (laplacian) and
-  SDDMM→softmax→SpMM (transformer attention) RHS.
+  SDDMM→softmax→SpMM (transformer attention) RHS, plus the windowed
+  (block-dense) and hub-slab strategies on structured graphs and the
+  Pallas fwd+bwd training RHS.
 - **Cora scale** (`src/best_params.py:1`): the dense-operator strategy.
 
 ``vs_baseline`` compares against the same RHS computed with plain XLA
@@ -20,20 +22,69 @@ the host — on the tunneled device platform `jax.block_until_ready` returns
 before the computation has run, so only a host transfer is a real sync.
 The measured round-trip latency of an empty jit call is subtracted.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+**Timeout-proof protocol** (round-3): the headline JSON line is printed as
+soon as the first measurement lands, then a cumulative JSON line is
+re-printed after every section (the last line on stdout is always the
+richest complete snapshot). Each section checks the remaining wall-clock
+budget (``BENCH_BUDGET_S``, default 540 s) and records
+``{"skipped": "budget"}`` instead of starting something it cannot finish;
+a daemon watchdog force-emits the current snapshot and exits 0 shortly
+before the budget expires, so a hung tunnel compile can never yield an
+empty artifact.
 """
 
 import dataclasses
 import json
+import os
 import sys
+import threading
 import time
+
+import numpy as np
+
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+RESULTS = {"metric": "attention_rhs_edges_per_s_per_chip", "value": None,
+           "unit": "edges/s", "vs_baseline": None, "partial": True}
+_EMIT_LOCK = threading.Lock()
 
 
 def _note(msg):
-    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
-          flush=True)
+    print(f"[bench {time.strftime('%H:%M:%S')} +{time.time()-T0:5.1f}s] "
+          f"{msg}", file=sys.stderr, flush=True)
 
-import numpy as np
+
+def emit():
+    """Re-print the cumulative snapshot as one JSON line (last line wins)."""
+    with _EMIT_LOCK:
+        print(json.dumps(RESULTS), flush=True)
+
+
+def time_left() -> float:
+    return BUDGET_S - (time.time() - T0)
+
+
+def _watchdog():
+    """Force-emit and exit 0 before the driver's timeout can hit us."""
+    RESULTS["watchdog_fired"] = True
+    emit()
+    os._exit(0)
+
+
+def run_section(name, fn, min_seconds):
+    """Run one bench section; budget-gate, catch, and always emit after."""
+    if time_left() < min_seconds:
+        RESULTS[name] = {"skipped": "budget"}
+        _note(f"SKIP {name}: {time_left():.0f}s left < {min_seconds}s")
+    else:
+        _note(f"section {name} (budget left {time_left():.0f}s)")
+        try:
+            fn()
+        except Exception as e:  # a failed section must not kill the rest
+            RESULTS[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            _note(f"section {name} FAILED: {e}")
+    emit()
+
 
 _RTT = None  # host<->device round-trip of a tiny jit call + scalar fetch
 
@@ -162,20 +213,32 @@ def build_sorted_edges(n, avg_deg, seed=0):
 
 
 def main():
+    # watchdog fires 15s before the budget so the final emit always lands
+    wd = threading.Timer(max(BUDGET_S - 15.0, 30.0), _watchdog)
+    wd.daemon = True
+    wd.start()
+    emit()  # a parseable (empty-value) line exists from second zero
+
+    _note("importing jax / claiming device (tunnel claim can take ~60s "
+          "if another client just released it)")
     import jax
     import jax.numpy as jnp
 
     from graphax import Config
     from graphax.functions import get_function
-    from graphax.functions.common import FuncState
+    from graphax.functions.common import FuncState, prepare_scalars
     from graphax.kernels.dispatch import attach_tiles
     from graphax.sparse import Graph
 
     platform = jax.devices()[0].platform
     dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
     rng = np.random.RandomState(1)
+    RESULTS["platform"] = platform
+    RESULTS["dtype"] = str(dtype.__name__)
+    _note(f"device claimed: platform={platform}")
+    emit()
 
-    # ---- arxiv scale -----------------------------------------------------
+    # ---- shared arxiv-scale inputs --------------------------------------
     n, avg_deg, d = 169_343, 14, 162
     row, col = build_sorted_edges(n, avg_deg)
     e = len(row)
@@ -188,8 +251,6 @@ def main():
                      hidden_dim=d, attention_type="scaled_dot",
                      self_loop_weight=1.0)
     cfg_lap = Config(function="laplacian", hidden_dim=d, self_loop_weight=1.0)
-    from graphax.functions.common import prepare_scalars
-
     f_att = get_function(cfg_att, d)
     f_lap = get_function(cfg_lap, d)
     # the solver path (blocks.integrate) prepares activation scalars once
@@ -209,254 +270,321 @@ def main():
     fs_tiled = make_fstate(g_tiled, x, train=False)
     fs_xla = FuncState(graph=g_xla, x0=x)
 
-    _note("arxiv tiled section")
-    t_att = bench_chained(rhs_step(f_att), x, fs_tiled, p_att)
-    t_att_base = bench_chained(rhs_step(f_att), x, fs_xla, p_att)
-    t_lap = bench_chained(rhs_step(f_lap), x, fs_tiled, p_lap)
-    t_lap_base = bench_chained(rhs_step(f_lap), x, fs_xla, p_lap)
+    # ---- section 1: arxiv tiled (THE headline) --------------------------
+    def sec_tiled():
+        _note("tiled: attention rhs (headline)")
+        t_att = bench_chained(rhs_step(f_att), x, fs_tiled, p_att)
+        RESULTS["value"] = round(e / t_att, 1)
+        RESULTS["arxiv_scale"] = {
+            "n_nodes": n, "n_edges": e,
+            "attention_rhs_ms": round(t_att * 1e3, 2),
+        }
+        emit()  # headline metric is on stdout from here on
+        _note("tiled: attention xla baseline")
+        t_att_base = bench_chained(rhs_step(f_att), x, fs_xla, p_att)
+        RESULTS["vs_baseline"] = round(t_att_base / t_att, 2)
+        RESULTS["arxiv_scale"]["attention_rhs_ms_xla_baseline"] = \
+            round(t_att_base * 1e3, 2)
+        emit()
+        _note("tiled: spmm rhs")
+        t_lap = bench_chained(rhs_step(f_lap), x, fs_tiled, p_lap)
+        RESULTS["arxiv_scale"].update({
+            "spmm_rhs_ms": round(t_lap * 1e3, 2),
+            "spmm_edges_per_s": round(e / t_lap, 1),
+        })
+        emit()
+        _note("tiled: spmm xla baseline")
+        t_lap_base = bench_chained(rhs_step(f_lap), x, fs_xla, p_lap)
+        RESULTS["arxiv_scale"].update({
+            "spmm_rhs_ms_xla_baseline": round(t_lap_base * 1e3, 2),
+            "spmm_vs_baseline": round(t_lap_base / t_lap, 2),
+        })
 
-    # ---- arxiv scale, community-structured (windowed strategy) ----------
+    run_section("arxiv_scale", sec_tiled, min_seconds=30)
+
+    # ---- section 2: community-structured windowed strategy --------------
     # Real benchmark graphs have community structure; after community_order
     # reordering the windowed strategy replaces the granule-bound random
     # gather with precomputed block-dense operators: in-window edges become
     # one batched MXU matmul per RHS evaluation (graphax.kernels.windows).
-    from graphax.kernels.dispatch import attach_windows
-    from graphax.kernels.windows import community_order
+    win_state = {}
 
-    window = 512
-    comm = rng.randint(0, n // window + 1, n)  # shuffled community labels
-    src = rng.randint(0, n, n * avg_deg)
-    same = rng.rand(n * avg_deg) < 0.75
-    dst = rng.randint(0, n, n * avg_deg)
-    order_c = np.argsort(comm, kind="stable")
-    # map each same-community edge to a random member of src's community
-    starts = np.searchsorted(comm[order_c], np.arange(comm.max() + 1))
-    ends = np.searchsorted(comm[order_c], np.arange(comm.max() + 1), "right")
-    cs, ce = starts[comm[src]], ends[comm[src]]
-    dst_in = order_c[cs + (rng.rand(n * avg_deg) * (ce - cs)).astype(np.int64)]
-    dst = np.where(same, dst_in, dst)
-    keep = src != dst
-    src, dst = src[keep], dst[keep]
-    perm = community_order(src, dst, n, window=window)
-    rs, cs2 = perm[src], perm[dst]
-    order2 = np.lexsort((cs2, rs))
-    rs, cs2 = rs[order2], cs2[order2]
-    ew = len(rs)
-    gw0 = Graph.from_edges(rs, cs2, n)
-    g_win = attach_windows(gw0, window=window)
-    g_win_tiled = dataclasses.replace(attach_tiles(gw0), strategy="tiled")
-    in_frac = g_win.windows.in_window_edges / ew
-    fs_win = make_fstate(g_win, x, train=False)
-    fs_win_tiled = make_fstate(g_win_tiled, x, train=False)
-    _note("windowed section")
-    t_win = bench_chained(rhs_step(f_lap), x, fs_win, p_lap)
-    t_win_tiled = bench_chained(rhs_step(f_lap), x, fs_win_tiled, p_lap)
-    # per-NFE attention recompute (GRAND-nl) through the block-dense
-    # windowed scores + aggregation (kernels.windowed_attention)
-    t_att_win = bench_chained(rhs_step(f_att), x, fs_win, p_att)
-    t_att_win_tiled = bench_chained(rhs_step(f_att), x, fs_win_tiled, p_att)
+    def sec_windowed():
+        from graphax.kernels.dispatch import attach_windows
+        from graphax.kernels.windows import community_order
 
-    # once-per-forward densify cost (amortized over the solve's NFEs)
-    import jax as _jax
-    from graphax.kernels.pallas_windows import densify_windows
-    from graphax.kernels.windows import blocked_window_values
-
-    @_jax.jit
-    def _densify(values):
-        win, _, _ = blocked_window_values(values, g_win.windows)
-        return jnp.sum(densify_windows(win.astype(dtype), g_win.windows)
-                       .astype(jnp.float32))
-
-    rtt = _round_trip()
-    float(_densify(g_win.edge_weight))
-    t_densify = max(min(_time_fetch(_densify, g_win.edge_weight)
-                        for _ in range(3)) - rtt, 1e-9)
-
-    # ---- training step: GRAND-nl fwd+bwd RHS, Pallas vs XLA route -------
-    # (round-2 deliverable: the per-NFE TRAINING attention rides Pallas end
-    # to end — kernels.pallas_attention backward kernels)
-    def grad_step(func, p):
-        def step(s, fs):
-            def loss(xx, qw):
-                pp = {**p, "att": {**p["att"], "Q": {**p["att"]["Q"],
-                                                     "w": qw}}}
-                return jnp.sum(func.rhs(pp, fs, 0.0, xx)
-                               .astype(jnp.float32))
-
-            gx, gq = jax.grad(loss, argnums=(0, 1))(s, p["att"]["Q"]["w"])
-            # fold a param-grad scalar in so neither cotangent is DCE'd
-            return (s * 0.99 + 0.01 * gx.astype(s.dtype)
-                    + (jnp.sum(gq) * 1e-12).astype(s.dtype))
-        return step
-
-    fs_train_pl = make_fstate(g_tiled, x, train=True, cfg=cfg_att)
-    fs_train_xla = make_fstate(g_tiled, x, train=True)
-    _note("train-step section (pallas)")
-    t_train_pl = bench_chained(grad_step(f_att, p_att), x, fs_train_pl,
-                               iters=6)
-    _note("train-step section (xla)")
-    t_train_xla = bench_chained(grad_step(f_att, p_att), x, fs_train_xla,
-                                iters=6)
-
-    # ---- arxiv-like power-law graph: hub-slab strategy ------------------
-    # Citation graphs are community-structured AND heavy-tailed; the hub
-    # layout (kernels.hubs) serves the top-in-degree columns from dense
-    # operator blocks against a tiny x[hub_ids] slab — one shared-rhs MXU
-    # matmul replacing the granule-bound gathers those edges would pay.
-    from graphax.kernels.hubs import attach_hubs
-
-    n_hubs = 512
-    hub_ids0 = rng.choice(n, n_hubs, replace=False)
-    src_h = rng.randint(0, n, n * avg_deg)
-    # 55% of edges hit hubs: the gather cost is per padded SLOT of the
-    # tiled layout (block-size quantized), so hub extraction only pays
-    # once coverage sheds whole block quanta per tile — the slot-aware
-    # gate (kernels.hubs) declines below ~40% at this degree profile and
-    # this section exercises the engaged regime
-    to_hub = rng.rand(n * avg_deg) < 0.55
-    dst_h = np.where(to_hub, hub_ids0[rng.randint(0, n_hubs, n * avg_deg)],
-                     rng.randint(0, n, n * avg_deg))
-    keep_h = src_h != dst_h
-    src_h, dst_h = src_h[keep_h], dst_h[keep_h]
-    oh_ = np.lexsort((dst_h, src_h))
-    gh0 = Graph.from_edges(src_h[oh_], dst_h[oh_], n)
-    eh = len(src_h)
-    g_hub = dataclasses.replace(attach_hubs(attach_tiles(gh0)),
-                                strategy="tiled")
-    g_hub_plain = dataclasses.replace(attach_tiles(gh0), strategy="tiled")
-    hub_cov = (g_hub.hubs.hub_edges / eh) if g_hub.hubs is not None else 0.0
-    fs_hub = make_fstate(g_hub, x, train=False)
-    fs_hub_plain = make_fstate(g_hub_plain, x, train=False)
-    _note("hub section")
-    t_hub = bench_chained(rhs_step(f_lap), x, fs_hub, p_lap)
-    t_hub_plain = bench_chained(rhs_step(f_lap), x, fs_hub_plain, p_lap)
-
-    # ---- roofline: measured chip peaks + per-path traffic/FLOP models ---
-    _note("peaks section")
-    hbm_gbps, mxu_tflops, gather_gbps = measure_peaks(dtype)
-    bpe = jnp.dtype(dtype).itemsize
-    wt = g_win.windows
-    t_tiles, tile_r, win_w = wt.num_tiles, wt.tile, wt.window
-    res_e = int(np.asarray(wt.residual.slot_mask).sum())
-    # tiled SpMM per NFE: E·D random row gather (granule-bound, charged at
-    # the measured gather rate) + the gathered buffer's write+read stream,
-    # weights E·4, out N·D f32
-    gbytes_tiled = e * d * bpe
-    bytes_tiled = 2 * e * d * bpe + e * 4 + 2 * n * d * 4
-    flops_tiled = 2 * e * d
-    # windowed per NFE: dense blocks T·tile·W, slab reads ≤ T·W·D, out
-    # N·D f32 + residual gather (granule-bound part split out)
-    gbytes_win = res_e * d * bpe
-    bytes_win = (t_tiles * tile_r * win_w * bpe + t_tiles * win_w * d * bpe
-                 + 2 * n * d * 4 + res_e * d * bpe + res_e * 4)
-    flops_win = 2 * t_tiles * tile_r * win_w * d + 2 * res_e * d
-    # hub-layout SpMM: dense hub blocks T·tile·H + rest gather
-    if g_hub.hubs is not None:
-        hub_e = g_hub.hubs.hub_edges
-        hub_h = g_hub.hubs.hub_size
-        gbytes_hub = (eh - hub_e) * d * bpe
-        bytes_hub = (t_tiles * tile_r * hub_h * bpe
-                     + (eh - hub_e) * d * bpe + 2 * n * d * 4
-                     + (eh - hub_e) * 4)
-        flops_hub = 2 * t_tiles * tile_r * hub_h * d + 2 * (eh - hub_e) * d
-        roof_hub = roofline(t_hub, bytes_hub, flops_hub, hbm_gbps,
-                            mxu_tflops, gbytes_hub, gather_gbps)
-    else:
-        roof_hub = None
-    # attention RHS (tiled): + K projection on gathered sources (E·A·D
-    # FLOPs), scores/normalize E·H traffic
-    a_dim = cfg_att.attention_dim
-    bytes_att = bytes_tiled + 3 * e * cfg_att.heads * 4 + n * a_dim * bpe
-    flops_att = flops_tiled + 2 * e * a_dim * d + 2 * e * a_dim
-
-    roof = {
-        "hbm_gbps_measured": round(hbm_gbps, 1),
-        "mxu_tflops_measured": round(mxu_tflops, 1),
-        "gather_gbps_measured": round(gather_gbps, 1),
-        "spmm_tiled": roofline(t_lap, bytes_tiled, flops_tiled, hbm_gbps,
-                               mxu_tflops, gbytes_tiled, gather_gbps),
-        "spmm_windowed": roofline(t_win, bytes_win, flops_win, hbm_gbps,
-                                  mxu_tflops, gbytes_win, gather_gbps),
-        "spmm_hub": roof_hub,
-        "attention_tiled": roofline(t_att, bytes_att, flops_att, hbm_gbps,
-                                    mxu_tflops, gbytes_tiled, gather_gbps),
-    }
-
-    # ---- Cora scale (dense strategy) ------------------------------------
-    nc, dc = 2485, 80
-    rc, cc = build_sorted_edges(nc, 4, seed=2)
-    gc0 = Graph.from_edges(rc, cc, nc)
-    ec = len(rc)
-    gc_dense = dataclasses.replace(gc0, strategy="dense")
-    gc_xla = dataclasses.replace(gc0, strategy="edge")
-    xc = jnp.asarray(rng.randn(nc, dc), jnp.float32)
-    cfg_c = Config(function="laplacian", hidden_dim=dc, self_loop_weight=1.0)
-    f_c = get_function(cfg_c, dc)
-    p_c = prepare_scalars(f_c.init(jax.random.PRNGKey(0)), cfg_c,
-                          jnp.float32)
-    from graphax.kernels.dense_path import densify
-
-    fs_cd = FuncState(graph=gc_dense, x0=xc,
-                      dense_adj=densify(gc_dense, gc_dense.edge_weight))
-    fs_ce = FuncState(graph=gc_xla, x0=xc)
-    _note("cora section")
-    t_cora = bench_chained(rhs_step(f_c), xc, fs_cd, p_c, iters=400)
-    t_cora_base = bench_chained(rhs_step(f_c), xc, fs_ce, p_c, iters=400)
-
-    print(json.dumps({
-        "metric": "attention_rhs_edges_per_s_per_chip",
-        "value": round(e / t_att, 1),
-        "unit": "edges/s",
-        "vs_baseline": round(t_att_base / t_att, 2),
-        "platform": platform,
-        "dtype": str(dtype.__name__),
-        "arxiv_scale": {
-            "n_nodes": n, "n_edges": e,
-            "attention_rhs_ms": round(t_att * 1e3, 2),
-            "attention_rhs_ms_xla_baseline": round(t_att_base * 1e3, 2),
-            "spmm_rhs_ms": round(t_lap * 1e3, 2),
-            "spmm_rhs_ms_xla_baseline": round(t_lap_base * 1e3, 2),
-            "spmm_edges_per_s": round(e / t_lap, 1),
-            "spmm_vs_baseline": round(t_lap_base / t_lap, 2),
-        },
-        "arxiv_scale_clustered_windowed": {
+        window = 512
+        comm = rng.randint(0, n // window + 1, n)  # shuffled community ids
+        src = rng.randint(0, n, n * avg_deg)
+        same = rng.rand(n * avg_deg) < 0.75
+        dst = rng.randint(0, n, n * avg_deg)
+        order_c = np.argsort(comm, kind="stable")
+        # map each same-community edge to a random member of src's community
+        starts = np.searchsorted(comm[order_c], np.arange(comm.max() + 1))
+        ends = np.searchsorted(comm[order_c], np.arange(comm.max() + 1),
+                               "right")
+        cs, ce = starts[comm[src]], ends[comm[src]]
+        dst_in = order_c[cs + (rng.rand(n * avg_deg)
+                               * (ce - cs)).astype(np.int64)]
+        dst = np.where(same, dst_in, dst)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        perm = community_order(src, dst, n, window=window)
+        rs, cs2 = perm[src], perm[dst]
+        order2 = np.lexsort((cs2, rs))
+        rs, cs2 = rs[order2], cs2[order2]
+        ew = len(rs)
+        gw0 = Graph.from_edges(rs, cs2, n)
+        g_win = attach_windows(gw0, window=window)
+        g_win_tiled = dataclasses.replace(attach_tiles(gw0),
+                                          strategy="tiled")
+        in_frac = g_win.windows.in_window_edges / ew
+        fs_win = make_fstate(g_win, x, train=False)
+        fs_win_tiled = make_fstate(g_win_tiled, x, train=False)
+        _note("windowed: spmm")
+        t_win = bench_chained(rhs_step(f_lap), x, fs_win, p_lap)
+        RESULTS["arxiv_scale_clustered_windowed"] = {
             "n_nodes": n, "n_edges": ew,
             "in_window_frac": round(in_frac, 3),
             "spmm_rhs_ms": round(t_win * 1e3, 2),
-            "spmm_rhs_ms_tiled": round(t_win_tiled * 1e3, 2),
-            "densify_once_ms": round(t_densify * 1e3, 2),
             "spmm_edges_per_s": round(ew / t_win, 1),
+        }
+        emit()
+        _note("windowed: spmm tiled comparison")
+        t_win_tiled = bench_chained(rhs_step(f_lap), x, fs_win_tiled, p_lap)
+        RESULTS["arxiv_scale_clustered_windowed"].update({
+            "spmm_rhs_ms_tiled": round(t_win_tiled * 1e3, 2),
             "windowed_vs_tiled": round(t_win_tiled / t_win, 2),
+        })
+        emit()
+        # per-NFE attention recompute (GRAND-nl) through the block-dense
+        # windowed scores + aggregation (kernels.windowed_attention)
+        _note("windowed: attention")
+        t_att_win = bench_chained(rhs_step(f_att), x, fs_win, p_att)
+        t_att_win_tiled = bench_chained(rhs_step(f_att), x, fs_win_tiled,
+                                        p_att)
+        RESULTS["arxiv_scale_clustered_windowed"].update({
             "attention_rhs_ms": round(t_att_win * 1e3, 2),
             "attention_rhs_ms_tiled": round(t_att_win_tiled * 1e3, 2),
             "attention_edges_per_s": round(ew / t_att_win, 1),
             "attention_windowed_vs_tiled": round(t_att_win_tiled
                                                  / t_att_win, 2),
-        },
-        "train_step": {
-            "n_edges": e,
-            "train_rhs_fwdbwd_ms_pallas": round(t_train_pl * 1e3, 2),
-            "train_rhs_fwdbwd_ms_xla": round(t_train_xla * 1e3, 2),
-            "pallas_vs_xla": round(t_train_xla / t_train_pl, 2),
-        },
-        "arxiv_scale_powerlaw_hub": {
+        })
+        emit()
+
+        # once-per-forward densify cost (amortized over the solve's NFEs)
+        from graphax.kernels.pallas_windows import densify_windows
+        from graphax.kernels.windows import blocked_window_values
+
+        @jax.jit
+        def _densify(values):
+            win, _, _ = blocked_window_values(values, g_win.windows)
+            return jnp.sum(densify_windows(win.astype(dtype), g_win.windows)
+                           .astype(jnp.float32))
+
+        rtt = _round_trip()
+        float(_densify(g_win.edge_weight))
+        t_densify = max(min(_time_fetch(_densify, g_win.edge_weight)
+                            for _ in range(3)) - rtt, 1e-9)
+        RESULTS["arxiv_scale_clustered_windowed"]["densify_once_ms"] = \
+            round(t_densify * 1e3, 2)
+        win_state.update(g_win=g_win, t_win=t_win, ew=ew)
+
+    run_section("arxiv_scale_clustered_windowed", sec_windowed,
+                min_seconds=60)
+
+    # ---- section 3: power-law hub-slab strategy -------------------------
+    # Citation graphs are community-structured AND heavy-tailed; the hub
+    # layout (kernels.hubs) serves the top-in-degree columns from dense
+    # operator blocks against a tiny x[hub_ids] slab — one shared-rhs MXU
+    # matmul replacing the granule-bound gathers those edges would pay.
+    hub_state = {}
+
+    def sec_hub():
+        from graphax.kernels.hubs import attach_hubs
+
+        n_hubs = 512
+        hub_ids0 = rng.choice(n, n_hubs, replace=False)
+        src_h = rng.randint(0, n, n * avg_deg)
+        # 55% of edges hit hubs: the gather cost is per padded SLOT of the
+        # tiled layout (block-size quantized), so hub extraction only pays
+        # once coverage sheds whole block quanta per tile — the slot-aware
+        # gate (kernels.hubs) declines below ~40% at this degree profile
+        # and this section exercises the engaged regime
+        to_hub = rng.rand(n * avg_deg) < 0.55
+        dst_h = np.where(to_hub,
+                         hub_ids0[rng.randint(0, n_hubs, n * avg_deg)],
+                         rng.randint(0, n, n * avg_deg))
+        keep_h = src_h != dst_h
+        src_h, dst_h = src_h[keep_h], dst_h[keep_h]
+        oh_ = np.lexsort((dst_h, src_h))
+        gh0 = Graph.from_edges(src_h[oh_], dst_h[oh_], n)
+        eh = len(src_h)
+        g_hub = dataclasses.replace(attach_hubs(attach_tiles(gh0)),
+                                    strategy="tiled")
+        g_hub_plain = dataclasses.replace(attach_tiles(gh0),
+                                          strategy="tiled")
+        hub_cov = (g_hub.hubs.hub_edges / eh) if g_hub.hubs is not None \
+            else 0.0
+        fs_hub = make_fstate(g_hub, x, train=False)
+        fs_hub_plain = make_fstate(g_hub_plain, x, train=False)
+        _note("hub: spmm")
+        t_hub = bench_chained(rhs_step(f_lap), x, fs_hub, p_lap)
+        RESULTS["arxiv_scale_powerlaw_hub"] = {
             "n_nodes": n, "n_edges": eh,
             "hub_size": (g_hub.hubs.hub_size if g_hub.hubs is not None
                          else 0),
             "hub_edge_frac": round(hub_cov, 3),
             "spmm_rhs_ms": round(t_hub * 1e3, 2),
-            "spmm_rhs_ms_no_hubs": round(t_hub_plain * 1e3, 2),
             "spmm_edges_per_s": round(eh / t_hub, 1),
+        }
+        emit()
+        _note("hub: plain-tiled comparison")
+        t_hub_plain = bench_chained(rhs_step(f_lap), x, fs_hub_plain, p_lap)
+        RESULTS["arxiv_scale_powerlaw_hub"].update({
+            "spmm_rhs_ms_no_hubs": round(t_hub_plain * 1e3, 2),
             "hub_vs_plain": round(t_hub_plain / t_hub, 2),
-        },
-        "roofline": roof,
-        "cora_scale_dense": {
+        })
+        hub_state.update(g_hub=g_hub, t_hub=t_hub, eh=eh)
+
+    run_section("arxiv_scale_powerlaw_hub", sec_hub, min_seconds=45)
+
+    # ---- section 4: training step, Pallas vs XLA fwd+bwd ----------------
+    # (round-2 deliverable: the per-NFE TRAINING attention rides Pallas end
+    # to end — kernels.pallas_attention backward kernels)
+    def sec_train():
+        def grad_step(func, p):
+            def step(s, fs):
+                def loss(xx, qw):
+                    pp = {**p, "att": {**p["att"],
+                                       "Q": {**p["att"]["Q"], "w": qw}}}
+                    return jnp.sum(func.rhs(pp, fs, 0.0, xx)
+                                   .astype(jnp.float32))
+
+                gx, gq = jax.grad(loss, argnums=(0, 1))(s,
+                                                        p["att"]["Q"]["w"])
+                # fold a param-grad scalar in so no cotangent is DCE'd
+                return (s * 0.99 + 0.01 * gx.astype(s.dtype)
+                        + (jnp.sum(gq) * 1e-12).astype(s.dtype))
+            return step
+
+        fs_train_pl = make_fstate(g_tiled, x, train=True, cfg=cfg_att)
+        fs_train_xla = make_fstate(g_tiled, x, train=True)
+        _note("train-step: pallas")
+        t_train_pl = bench_chained(grad_step(f_att, p_att), x, fs_train_pl,
+                                   iters=6)
+        RESULTS["train_step"] = {
+            "n_edges": e,
+            "train_rhs_fwdbwd_ms_pallas": round(t_train_pl * 1e3, 2),
+        }
+        emit()
+        _note("train-step: xla")
+        t_train_xla = bench_chained(grad_step(f_att, p_att), x,
+                                    fs_train_xla, iters=6)
+        RESULTS["train_step"].update({
+            "train_rhs_fwdbwd_ms_xla": round(t_train_xla * 1e3, 2),
+            "pallas_vs_xla": round(t_train_xla / t_train_pl, 2),
+        })
+
+    run_section("train_step", sec_train, min_seconds=75)
+
+    # ---- section 5: measured chip peaks + rooflines ---------------------
+    def sec_roofline():
+        hbm_gbps, mxu_tflops, gather_gbps = measure_peaks(dtype)
+        bpe = jnp.dtype(dtype).itemsize
+        roof = {
+            "hbm_gbps_measured": round(hbm_gbps, 1),
+            "mxu_tflops_measured": round(mxu_tflops, 1),
+            "gather_gbps_measured": round(gather_gbps, 1),
+        }
+        arx = RESULTS.get("arxiv_scale", {})
+        # tiled SpMM per NFE: E·D random row gather (granule-bound, charged
+        # at the measured gather rate) + the gathered buffer's write+read
+        # stream, weights E·4, out N·D f32
+        gbytes_tiled = e * d * bpe
+        bytes_tiled = 2 * e * d * bpe + e * 4 + 2 * n * d * 4
+        flops_tiled = 2 * e * d
+        if "spmm_rhs_ms" in arx:
+            roof["spmm_tiled"] = roofline(
+                arx["spmm_rhs_ms"] / 1e3, bytes_tiled, flops_tiled,
+                hbm_gbps, mxu_tflops, gbytes_tiled, gather_gbps)
+        if "attention_rhs_ms" in arx:
+            # attention RHS (tiled): + K projection on gathered sources
+            # (E·A·D FLOPs), scores/normalize E·H traffic
+            a_dim = cfg_att.attention_dim
+            bytes_att = (bytes_tiled + 3 * e * cfg_att.heads * 4
+                         + n * a_dim * bpe)
+            flops_att = flops_tiled + 2 * e * a_dim * d + 2 * e * a_dim
+            roof["attention_tiled"] = roofline(
+                arx["attention_rhs_ms"] / 1e3, bytes_att, flops_att,
+                hbm_gbps, mxu_tflops, gbytes_tiled, gather_gbps)
+        if win_state:
+            # windowed per NFE: dense blocks T·tile·W, slab reads ≤ T·W·D,
+            # out N·D f32 + residual gather (granule-bound part split out)
+            wt = win_state["g_win"].windows
+            t_tiles, tile_r, win_w = wt.num_tiles, wt.tile, wt.window
+            res_e = int(np.asarray(wt.residual.slot_mask).sum())
+            gbytes_win = res_e * d * bpe
+            bytes_win = (t_tiles * tile_r * win_w * bpe
+                         + t_tiles * win_w * d * bpe
+                         + 2 * n * d * 4 + res_e * d * bpe + res_e * 4)
+            flops_win = 2 * t_tiles * tile_r * win_w * d + 2 * res_e * d
+            roof["spmm_windowed"] = roofline(
+                win_state["t_win"], bytes_win, flops_win, hbm_gbps,
+                mxu_tflops, gbytes_win, gather_gbps)
+        if hub_state and hub_state["g_hub"].hubs is not None:
+            # hub-layout SpMM: dense hub blocks T·tile·H + rest gather
+            g_hub, eh = hub_state["g_hub"], hub_state["eh"]
+            hub_e = g_hub.hubs.hub_edges
+            hub_h = g_hub.hubs.hub_size
+            h_tiles, h_tile = g_hub.hubs.num_tiles, g_hub.hubs.tile
+            gbytes_hub = (eh - hub_e) * d * bpe
+            bytes_hub = (h_tiles * h_tile * hub_h * bpe
+                         + (eh - hub_e) * d * bpe + 2 * n * d * 4
+                         + (eh - hub_e) * 4)
+            flops_hub = (2 * h_tiles * h_tile * hub_h * d
+                         + 2 * (eh - hub_e) * d)
+            roof["spmm_hub"] = roofline(
+                hub_state["t_hub"], bytes_hub, flops_hub, hbm_gbps,
+                mxu_tflops, gbytes_hub, gather_gbps)
+        RESULTS["roofline"] = roof
+
+    run_section("roofline", sec_roofline, min_seconds=30)
+
+    # ---- section 6: Cora scale (dense strategy) -------------------------
+    def sec_cora():
+        from graphax.kernels.dense_path import densify
+
+        nc, dc = 2485, 80
+        rc, cc = build_sorted_edges(nc, 4, seed=2)
+        gc0 = Graph.from_edges(rc, cc, nc)
+        ec = len(rc)
+        gc_dense = dataclasses.replace(gc0, strategy="dense")
+        gc_xla = dataclasses.replace(gc0, strategy="edge")
+        xc = jnp.asarray(rng.randn(nc, dc), jnp.float32)
+        cfg_c = Config(function="laplacian", hidden_dim=dc,
+                       self_loop_weight=1.0)
+        f_c = get_function(cfg_c, dc)
+        p_c = prepare_scalars(f_c.init(jax.random.PRNGKey(0)), cfg_c,
+                              jnp.float32)
+        fs_cd = FuncState(graph=gc_dense, x0=xc,
+                          dense_adj=densify(gc_dense, gc_dense.edge_weight))
+        fs_ce = FuncState(graph=gc_xla, x0=xc)
+        t_cora = bench_chained(rhs_step(f_c), xc, fs_cd, p_c, iters=400)
+        t_cora_base = bench_chained(rhs_step(f_c), xc, fs_ce, p_c,
+                                    iters=400)
+        RESULTS["cora_scale_dense"] = {
             "n_nodes": nc, "n_edges": ec,
             "spmm_rhs_ms": round(t_cora * 1e3, 3),
             "spmm_rhs_ms_xla_baseline": round(t_cora_base * 1e3, 3),
             "spmm_vs_baseline": round(t_cora_base / t_cora, 2),
-        },
-    }))
+        }
+
+    run_section("cora_scale_dense", sec_cora, min_seconds=30)
+
+    RESULTS["partial"] = False
+    RESULTS["elapsed_s"] = round(time.time() - T0, 1)
+    emit()
 
 
 if __name__ == "__main__":
