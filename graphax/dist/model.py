@@ -1,9 +1,10 @@
 """Full multi-chip GRAND/BLEND model: the complete single-chip capability
 set — encoder (Beltrami/labels/MLP/batch-norm/ANODE), every block family
-(constant / attention / mixed / hard-attention), both RHS families
-(laplacian, transformer with all four score types), every solver in
-graphax.ode including adaptive dopri5 and the custom_vjp adjoint, and the
-early-stop accuracy observer — running node-sharded over a device mesh.
+(constant / attention / mixed / hard-attention / rewire-attention), all
+three RHS families (laplacian, transformer with all four score types, GAT),
+FFJORD regularizer state threading, every solver in graphax.ode including
+adaptive dopri5 and the custom_vjp adjoint, and the early-stop accuracy
+observer — running node-sharded over a device mesh.
 
 This is the composition VERDICT r1 found missing: round 1 shipped the pieces
 (halo-exchange SpMM, sharded attention RHS, distributed quantile, a reduced
@@ -77,12 +78,18 @@ class ShardedGNN(NamedTuple):
 
 
 def _check_supported(cfg):
-    assert cfg.n_reg == 0, \
-        "sharded trainer does not thread regularizer states yet"
-    assert cfg.block in ("constant", "attention", "mixed", "hard_attention"), \
+    assert cfg.block in ("constant", "attention", "mixed", "hard_attention",
+                         "rewire_attention"), \
         f"sharded trainer: unsupported block {cfg.block!r}"
-    assert cfg.function in ("laplacian", "transformer"), \
+    assert cfg.function in ("laplacian", "transformer", "GAT"), \
         f"sharded trainer: unsupported function {cfg.function!r}"
+    if cfg.block == "rewire_attention":
+        # the rewired topology is data-dependent; the sharded realization
+        # pins a dense row-slab operator (small/medium N — the only configs
+        # using this block, see blocks/rewire_attention.py) and integrates
+        # it with a per-NFE all_gather, which requires pinned edge values
+        assert cfg.function == "laplacian", \
+            "sharded rewire_attention integrates pinned values (laplacian)"
     assert not cfg.multi_modal, "sharded multimodal path not wired yet"
 
 
@@ -123,6 +130,25 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         node_mask=jnp.asarray(part.node_mask),
         **{k: jnp.asarray(v) for k, v in split.items()},
     )
+    if cfg.block == "rewire_attention":
+        # rewiring builds a dense row-slab operator in the PADDED GLOBAL
+        # node space [0, P·Nb): map each local edge's extended col index
+        # back to its global padded id (owned block offset for local cols,
+        # sender-side id via send_idx for halo slots)
+        ext2g = np.zeros((p_sh, nb + part.halo_size), np.int64)
+        for s in range(p_sh):
+            ext2g[s, :nb] = s * nb + np.arange(nb)
+            for slot in range(part.halo_size):
+                t, k = divmod(int(part.halo_gather[s, slot]), hp)
+                ext2g[s, nb + slot] = t * nb + part.send_idx[t, s, k]
+        gcol = np.take_along_axis(ext2g, part.local_col.astype(np.int64),
+                                  axis=1)
+        tables["global_col"] = jnp.asarray(gcol.astype(np.int32))
+        # full real-node mask, replicated per shard (pads excluded from the
+        # rewired operator's columns)
+        real_full = part.node_mask.reshape(-1)
+        tables["real_full"] = jnp.asarray(
+            np.broadcast_to(real_full, (p_sh, p_sh * nb)).copy())
     tkeys = tuple(sorted(tables))
 
     # ------------------------------------------------------------------
@@ -171,13 +197,16 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                           _halo_combine(partial[nb:], tbl, "max"))
         return jnp.concatenate([own, _exchange(own, tbl)], axis=0)
 
-    def _normalize_scores(prods, tbl):
+    def _normalize_scores(prods, tbl, use_squareplus=None):
         """Segment softmax / squareplus over attention_norm_idx, sharded.
-        Twin of `graphax.sparse.ops.{segment_softmax,squareplus_norm}`."""
+        Twin of `graphax.sparse.ops.{segment_softmax,squareplus_norm}`.
+        ``use_squareplus`` overrides cfg.square_plus (GAT always softmaxes,
+        `graphax.functions.gat.gat_attention_apply`)."""
         mask = tbl["edge_mask"]
         is_row = cfg.attention_norm_idx == 0
         s = jnp.where(mask[:, None], prods, NEG)
-        if cfg.square_plus:
+        sp = cfg.square_plus if use_squareplus is None else use_squareplus
+        if sp:
             gmax = jax.lax.pmax(jnp.max(s), axis_name)
             gmax = jnp.where(gmax <= NEG / 2, 0.0, gmax)
             out = s - gmax
@@ -245,6 +274,40 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             prods = prods * tbl["edge_weight"][:, None]
         return _normalize_scores(prods, tbl), v_ext
 
+    def _gat_attention(gat_params, x, x_ext, tbl):
+        """Sharded `gat_attention_apply` (graphax.functions.gat): shared W
+        projection, scores LeakyReLU(a1·h_row + a2·h_col) with one `a`
+        shared over heads, segment softmax over attention_norm_idx.
+        Returns (att [E,H], wx [Nb,A], wx_ext [Nb+H,A])."""
+        row, col = tbl["local_row"], tbl["local_col"]
+        wx = x @ gat_params["W"]                       # [Nb, att_dim]
+        wx_ext = x_ext @ gat_params["W"]               # halo'd once by caller
+        d_k = cfg.attention_dim // heads
+        h = wx.reshape(nb, heads, d_k)
+        h_ext = wx_ext.reshape(wx_ext.shape[0], heads, d_k)
+        a1, a2 = gat_params["a"][:d_k], gat_params["a"][d_k:]
+        scores = (jnp.einsum("ehd,d->eh", h[row], a1)
+                  + jnp.einsum("ehd,d->eh", h_ext[col], a2))
+        scores = jax.nn.leaky_relu(scores,
+                                   negative_slope=cfg.leaky_relu_slope)
+        att = _normalize_scores(scores, tbl, use_squareplus=False)
+        return att, wx, wx_ext
+
+    def _block_attention(block_params, x, x_ext, tbl):
+        """Block-level pinned attention: the block's own transformer layer
+        when the function has none, else the function's layer (transformer
+        Q/K or GAT W/a) — twin of the `own_layer` switch in
+        graphax.blocks.{attention,mixed,hard_attention,rewire_attention}."""
+        own_layer = cfg.function not in ("GAT", "transformer")
+        if own_layer:
+            att, _ = _attention(block_params["att_layer"], x, x_ext, tbl)
+        elif cfg.function == "GAT":
+            att, _, _ = _gat_attention(block_params["func"]["att"], x,
+                                       x_ext, tbl)
+        else:
+            att, _ = _attention(block_params["func"]["att"], x, x_ext, tbl)
+        return att
+
     def _spmm(vals, x_ext, tbl):
         gathered = x_ext[tbl["local_col"]] * vals[:, None].astype(x_ext.dtype)
         return jax.ops.segment_sum(gathered, tbl["local_row"],
@@ -275,11 +338,31 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             tbl["halo_row"], num_segments=nb)
 
     def _rhs(prep, diff, tbl, t, z):
-        """diff = {'vals': pinned edge values or None, 'x0': source term}."""
-        if cfg.function == "laplacian":
+        """diff = {'vals': pinned edge values (or a {'dense': row-slab}
+        operator from the rewire block) or None, 'x0': source term}."""
+        if isinstance(diff["vals"], dict):
+            # rewired dense row-slab S [Nb, Np]: one all_gather of the node
+            # state per NFE, then a single MXU matmul (small/medium N)
+            z_full = jax.lax.all_gather(z, axis_name, axis=0)
+            z_full = z_full.reshape(p_sh * nb, z.shape[-1])
+            ax = diff["vals"]["dense"].astype(z.dtype) @ z_full
+        elif cfg.function == "laplacian":
             vals = diff["vals"] if diff["vals"] is not None \
                 else tbl["edge_weight"]
             ax = _spmm_overlap(vals, z, tbl)
+        elif cfg.function == "GAT":
+            x_ext = _x_ext(z, tbl)
+            att, wx, wx_ext = _gat_attention(prep["att"], z, x_ext, tbl)
+            att = att * tbl["edge_mask"][:, None]
+            if cfg.mix_features:
+                # per-head SpMM over Wx (heads broadcast), then Wout mix
+                gathered = wx_ext[tbl["local_col"]][:, None, :] \
+                    * att[:, :, None]
+                mixed = jax.ops.segment_sum(gathered, tbl["local_row"],
+                                            num_segments=nb).mean(axis=1)
+                ax = mixed @ prep["att"]["Wout"]
+            else:
+                ax = _spmm(att.mean(axis=1), x_ext, tbl)
         else:   # transformer: per-NFE attention recompute
             x_ext = _x_ext(z, tbl)
             att, v_ext = _attention(prep["att"], z, x_ext, tbl)
@@ -297,7 +380,7 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
     # block: pin edge values at x0, then integrate
     # ------------------------------------------------------------------
 
-    def _pin_edge_values(block_params, x0, tbl, train: bool):
+    def _pin_edge_values(block_params, x0, tbl, train: bool, rng=None):
         """The block-level attention computation (once per forward)."""
         if cfg.block == "constant":
             return None
@@ -309,11 +392,10 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                 gamma = jax.nn.sigmoid(block_params["gamma"])
                 return mean_att * (1 - gamma) + tbl["edge_weight"] * gamma
             return mean_att
+        if cfg.block == "rewire_attention":
+            return _pin_rewire(block_params, x0, x_ext, tbl, train, rng)
         # hard_attention (`src/block_transformer_hard_attention.py:41-60`)
-        own_layer = cfg.function not in ("GAT", "transformer")
-        lp = block_params["att_layer"] if own_layer \
-            else block_params["func"]["att"]
-        att, _ = _attention(lp, x0, x_ext, tbl)
+        att = _block_attention(block_params, x0, x_ext, tbl)
         mean_att = att.mean(axis=1)
         if not train:
             return jnp.where(tbl["edge_mask"], mean_att, 0.0)
@@ -333,16 +415,72 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             sums = _ext_segment_sum(kept, tbl)[tbl["local_col"]]
         return jnp.where(keep, kept / (sums + EPS), 0.0)
 
-    def _norm_fns():
+    def _pin_rewire(block_params, x0, x_ext, tbl, train: bool, rng):
+        """Sharded `RewireAttODEblock` (graphax.blocks.rewire_attention,
+        ref `src/block_transformer_rewiring.py:199-223`). Train: densify
+        (2-hop attention S=½A+½A², or random additions), distributed
+        quantile threshold, renormalize — as a dense ROW-SLAB operator
+        [Nb, Np] (Np = P·Nb padded global nodes; A² is one all_gather +
+        MXU matmul). Eval: recomputed attention on the original edges.
+        Divergence from the single-chip block (documented): no top-E_buf
+        candidate cap (the slab holds every candidate — identical results
+        whenever the candidates fit the buffer), and 'random' additions are
+        drawn in the padded relabeled node space."""
+        att = _block_attention(block_params, x0, x_ext, tbl).mean(axis=1)
+        if not train:
+            return jnp.where(tbl["edge_mask"], att, 0.0)
+        att = jax.lax.stop_gradient(att)
+        np_pad = p_sh * nb
+        masked = jnp.where(tbl["edge_mask"], att, 0.0)
+        a = jnp.zeros((nb, np_pad), masked.dtype)
+        a = a.at[tbl["local_row"], tbl["global_col"]].add(masked)
+        shard = jax.lax.axis_index(axis_name)
+        row_gids = shard * nb + jnp.arange(nb)
+        real_full = tbl["real_full"]
+        if cfg.new_edges == "k_hop_att":
+            a_full = jax.lax.all_gather(a, axis_name, axis=0)
+            a_full = a_full.reshape(np_pad, np_pad)
+            s_hat = 0.5 * a + 0.5 * (a @ a_full)
+            diag = jnp.arange(np_pad)[None, :] == row_gids[:, None]
+            s_hat = jnp.where(diag, 0.0, s_hat)
+        else:   # 'random' additions of weakly-weighted edges
+            m = max(int(n_real * (1.0 / (1.0 - cfg.rw_addD) - 1.0)), 1)
+            r = jax.random.randint(
+                rng if rng is not None else jax.random.PRNGKey(0),
+                (2, m), 0, np_pad)
+            mine = ((r[0] >= shard * nb) & (r[0] < (shard + 1) * nb)
+                    & real_full[r[0]] & real_full[r[1]])
+            r0l = jnp.clip(r[0] - shard * nb, 0, nb - 1)
+            add = jnp.where(mine & (a[r0l, r[1]] <= 0), 1e-6, 0.0)
+            s_hat = a.at[r0l, r[1]].add(add.astype(a.dtype))
+        pos = s_hat > 0
+        thresh = dist_quantile(s_hat.reshape(-1), pos.reshape(-1),
+                               1.0 - cfg.att_samp_pct)
+        s_kept = jnp.where((s_hat > thresh) & pos, s_hat, 0.0)
+        if cfg.attention_norm_idx == 0:
+            sums = jnp.sum(s_kept, axis=1, keepdims=True)
+            s_kept = s_kept / (sums + EPS)
+        else:
+            colsum = jax.lax.psum(jnp.sum(s_kept, axis=0), axis_name)
+            s_kept = s_kept / (colsum[None, :] + EPS)
+        s_kept = jnp.where(tbl["node_mask"][:, None] & real_full[None, :],
+                           s_kept, 0.0)
+        return {"dense": s_kept}
+
+    def _norm_fns(n_reg: int = 0):
         """Masked global-RMS forward norm (== single-chip RMS over the
-        unpadded [N, D] state) + plain psum'd RMS for the adjoint's
-        augmented state."""
+        unpadded augmented state [N, D (+ n_reg per-node accumulators)])
+        + plain psum'd RMS for the adjoint's augmented state."""
         width = state_dim
-        denom = float(n_real * width)
+        denom = float(n_real * (width + n_reg))
+        nx = nb * width
 
         def norm_fn(v, _tbl_mask):
-            sq = jnp.sum((v.reshape(nb, width) ** 2)
-                         * _tbl_mask[:, None])
+            vx = v[:nx].reshape(nb, width)
+            sq = jnp.sum((vx ** 2) * _tbl_mask[:, None])
+            if n_reg:
+                vr = v[nx:].reshape(n_reg, nb)
+                sq = sq + jnp.sum((vr ** 2) * _tbl_mask[None, :])
             return jnp.sqrt(jax.lax.psum(sq, axis_name) / denom)
 
         def adj_norm_fn(v):
@@ -353,24 +491,45 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         return norm_fn, adj_norm_fn
 
     def _integrate(params_block, tbl, x0, *, train: bool, t1=None,
-                   observer=None, max_steps=None):
-        """Twin of `graphax.blocks.common.integrate` on the local shard."""
+                   observer=None, max_steps=None, rng=None):
+        """Twin of `graphax.blocks.common.integrate` on the local shard:
+        regularizer state threading when training with n_reg>0 (state
+        becomes ``(x, per-node accumulators)``, `src/block_constant.py:
+        27-58`), the adjoint integrator when ``cfg.adjoint and train``."""
         t_end = float(cfg.time if t1 is None else t1)
         prep = prepare_scalars(params_block["func"], cfg, x0.dtype)
-        vals = _pin_edge_values(params_block, x0, tbl, train)
+        vals = _pin_edge_values(params_block, x0, tbl, train, rng=rng)
         z0 = jax.lax.stop_gradient(x0)
-        norm_fn, adj_norm_fn = _norm_fns()
+
+        reg_names = tuple(n for n, _ in cfg.reg_coeffs()) if train else ()
+        norm_fn, adj_norm_fn = _norm_fns(len(reg_names))
         nmask = tbl["node_mask"]
         common = dict(method=cfg.method, rtol=cfg.rtol, atol=cfg.atol,
                       step_size=cfg.step_size, max_nfe=cfg.max_nfe,
                       max_steps=max_steps,
                       norm_fn=lambda v: norm_fn(v, nmask))
 
-        if cfg.adjoint and train:
-            def f_adj(p, t, y):
-                return _rhs(p["prep"], {"vals": p["vals"], "x0": p["x0"]},
-                            tbl, t, y)
+        if reg_names:
+            from graphax.functions.regularizers import make_regularized_rhs
 
+            def base(pd, _fs, t, x):
+                return _rhs(pd["prep"], pd["diff"], tbl, t, x)
+
+            aug = make_regularized_rhs(base, reg_names)
+
+            def call(pd, t, y):
+                return aug(pd, None, t, y)
+
+            state0 = (x0, tuple(jnp.zeros((nb,), x0.dtype)
+                                for _ in reg_names))
+        else:
+            def call(pd, t, y):
+                return _rhs(pd["prep"], pd["diff"], tbl, t, y)
+
+            state0 = x0
+
+        pd0 = {"prep": prep, "diff": {"vals": vals, "x0": z0}}
+        if cfg.adjoint and train:
             # vma_axes: `prep` may hold leaves derived purely from config
             # constants (unvarying even after the loss_fn-entry cast); the
             # solver casts every custom-VJP input to varying so the bwd
@@ -378,15 +537,14 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             # strict vma checking (cast transposes psum into constants —
             # discarded — or are no-ops for params-derived leaves).
             res = odeint_adjoint(
-                f_adj, {"prep": prep, "vals": vals, "x0": z0}, x0, 0.0,
+                call, pd0, state0, 0.0,
                 t_end, vma_axes=(axis_name,),
                 adjoint_method=cfg.adjoint_method,
                 adjoint_rtol=cfg.rtol_adjoint, adjoint_atol=cfg.atol_adjoint,
                 adjoint_step_size=cfg.adjoint_step_size,
                 adjoint_norm_fn=adj_norm_fn, **common)
         else:
-            diff = {"vals": vals, "x0": z0}
-            res = odeint(lambda t, y: _rhs(prep, diff, tbl, t, y), x0, 0.0,
+            res = odeint(lambda t, y: call(pd0, t, y), state0, 0.0,
                          t_end, observer=observer, differentiable=train,
                          **common)
         return res
@@ -471,17 +629,22 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
 
     def _forward(params, state, tbl, x, pos, rng, *, train: bool, t1=None,
                  observer=None, max_steps=None):
-        r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+        r1, r2, r3 = (jax.random.split(rng, 3) if rng is not None
+                      else (None, None, None))
         x0, state = _encode(params, state, x, pos, r1, tbl, train)
         ode_dtype = jnp.dtype(cfg.dtype)
         res = _integrate(params["block"], tbl, x0.astype(ode_dtype),
                          train=train, t1=t1, observer=observer,
-                         max_steps=max_steps)
-        z = res.y.astype(x0.dtype)
+                         max_steps=max_steps, rng=r3)
+        if isinstance(res.y, tuple):
+            z_raw, reg_states = res.y
+        else:
+            z_raw, reg_states = res.y, ()
+        z = z_raw.astype(x0.dtype)
         if r2 is not None:
             r2 = jax.random.fold_in(r2, jax.lax.axis_index(axis_name))
         logits = _decode(params, z, r2, train)
-        return logits, state, res
+        return logits, state, res, reg_states
 
     # ------------------------------------------------------------------
     # metrics / loss (psum'd)
@@ -530,9 +693,17 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             # (every input to the custom_vjp is varying, matching its bwd
             # outputs). See dist.mesh.ensure_varying_tree.
             p = ensure_varying_tree(p, axis_name)
-            logits, new_state, res = _forward(p, state, tl, x, pl, rng,
-                                              train=True)
-            return _masked_ce(logits, y, m), (new_state, res.nfe)
+            logits, new_state, res, reg_states = _forward(
+                p, state, tl, x, pl, rng, train=True)
+            loss = _masked_ce(logits, y, m)
+            # Σ coeff·mean(reg_state) over REAL nodes (psum'd masked mean ==
+            # the single-chip jnp.mean; `src/graph_datasets/run_GNN.py:81-88`)
+            for rs, (_, coeff) in zip(reg_states, cfg.reg_coeffs()):
+                rmean = jax.lax.psum(
+                    jnp.sum(jnp.where(tl["node_mask"], rs, 0.0)),
+                    axis_name) / n_real
+                loss = loss + coeff * rmean
+            return loss, (new_state, res.nfe)
 
         (loss, (new_state, nfe)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -550,8 +721,8 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
     def _eval_accs_sm(params, state, xs, pos, ys, m_tr, m_va, m_te, tbl):
         tl = _tbl_local(tbl)
         pl = pos[0] if cfg.beltrami else None
-        logits, _, _ = _forward(params, state, tl, xs[0], pl, None,
-                                train=False)
+        logits, _, _, _ = _forward(params, state, tl, xs[0], pl, None,
+                                   train=False)
         y = ys[0]
         return jnp.stack([_masked_acc(logits, y, m_tr[0]),
                           _masked_acc(logits, y, m_va[0]),
@@ -577,9 +748,9 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             return jnp.where(better, jnp.stack([tr, va, te, t]), carry)
 
         obs = Observer(init=jnp.zeros(4), update=update)
-        _, _, res = _forward(params, state, tl, xs[0], pl, None,
-                             train=False, t1=cfg.earlystopxT * cfg.time,
-                             observer=obs, max_steps=cfg.max_test_steps)
+        _, _, res, _ = _forward(params, state, tl, xs[0], pl, None,
+                                train=False, t1=cfg.earlystopxT * cfg.time,
+                                observer=obs, max_steps=cfg.max_test_steps)
         return jnp.concatenate([res.observer,
                                 jnp.asarray([res.nfe], jnp.float32)])[None]
 
@@ -589,8 +760,8 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
     def _forward_logits_sm(params, state, xs, pos, tbl):
         tl = _tbl_local(tbl)
         pl = pos[0] if cfg.beltrami else None
-        logits, _, _ = _forward(params, state, tl, xs[0], pl, None,
-                                train=False)
+        logits, _, _, _ = _forward(params, state, tl, xs[0], pl, None,
+                                   train=False)
         return logits[None]
 
     # thin wrappers binding the static tables
