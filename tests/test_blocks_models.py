@@ -173,6 +173,7 @@ def test_gnn_beltrami_forward():
     assert logits.shape == (40, 3)
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_gnn():
     cfg = Config(hidden_dim=8, block="attention", function="laplacian",
                  heads=2, attention_dim=8, method="dopri5", time=1.0,
@@ -244,6 +245,7 @@ def test_cgnn_forward():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_adjoint_training_path():
     cfg = Config(hidden_dim=6, block="constant", function="laplacian",
                  method="dopri5", adjoint=True, adjoint_method="dopri5",

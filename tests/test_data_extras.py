@@ -6,6 +6,7 @@ import pickle
 import tempfile
 
 import numpy as np
+import pytest
 
 from graphax.data import get_dataset, make_sbm_dataset
 from graphax.data.digl import digl_split, heat_dataset, ppr_dataset
@@ -85,6 +86,7 @@ def test_digl_datasets():
     assert bool(d_split.train_mask.sum() > 0)
 
 
+@pytest.mark.slow
 def test_cgnn_driver_smoke():
     from graphax.drivers.run_cgnn import train_cgnn
 
@@ -110,6 +112,7 @@ def test_pick_best_deepwalk_pickle():
         assert obj["acc"] == 0.9
 
 
+@pytest.mark.slow
 def test_synthetic_fallback_homophily_class_count_invariant():
     """The SBM stand-ins must stay homophilic (~75% same-class neighbors)
     regardless of class count, or diffusion can't help on the many-class

@@ -57,6 +57,7 @@ def test_sharded_spmm_matches_single_device(strategy, num_shards):
     np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_diffusion_inside_solver():
     """Integrate the sharded GRAND-l RHS with dopri5 and compare to the
     single-device solve — the per-NFE halo exchange inside lax.while_loop."""
@@ -83,6 +84,7 @@ def test_sharded_diffusion_inside_solver():
     assert int(res_sh.nfe) == int(res_1.nfe)  # identical step sequences
 
 
+@pytest.mark.slow
 def test_gradients_through_halo_exchange():
     g = random_graph(n=48, e=200, seed=5)
     mesh = make_mesh((4,), ("graph",))
@@ -102,6 +104,7 @@ def test_gradients_through_halo_exchange():
     np.testing.assert_allclose(g_sh, g_1, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_train_step():
     mesh = make_mesh((8,), ("data",))
     w0 = {"w": jnp.zeros((4,))}
@@ -278,6 +281,7 @@ def _community_graph_shuffled(n=240, parts=4, seed=3):
                              self_loop_weight=1.0, pad_multiple=16)
 
 
+@pytest.mark.slow
 def test_bfs_partition_parity_and_smaller_halo():
     from jax.sharding import Mesh
     from graphax.dist.sharded import sharded_spmm_halo
@@ -312,6 +316,7 @@ def test_bfs_partition_balanced_and_covering():
 
 
 @pytest.mark.parametrize("method", ["contiguous", "bfs"])
+@pytest.mark.slow
 def test_sharded_spmm_tiled_local_compute(method):
     """use_tiles=True routes the per-shard reduction through the row-tiled
     MXU path (no E-sized scatters) — must match both the plain sharded
@@ -334,6 +339,7 @@ def test_sharded_spmm_tiled_local_compute(method):
 
 
 @pytest.mark.parametrize("method", ["contiguous", "bfs"])
+@pytest.mark.slow
 def test_sharded_spmm_windowed(method):
     """The windowed (block-dense) sharded strategy: per-shard in-window
     edges densified once per forward, per-NFE block matmul against the
@@ -381,6 +387,7 @@ def test_sharded_spmm_windowed(method):
 
 
 @pytest.mark.parametrize("method", ["contiguous", "bfs"])
+@pytest.mark.slow
 def test_sharded_spmm_halo_overlap(method):
     """The overlap-structured SpMM (local partial independent of the
     all_to_all) matches both the serial halo path and the single-device

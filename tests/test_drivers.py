@@ -35,6 +35,7 @@ def test_cli_plain_config():
     assert cfg.hidden_dim == 24 and cfg.adjoint and cfg.dataset == "Citeseer"
 
 
+@pytest.mark.slow
 def test_run_gnn_end_to_end(capsys):
     cfg = Config(dataset="Cora", hidden_dim=12, block="constant",
                  function="laplacian", method="euler", step_size=1.0,
@@ -57,6 +58,7 @@ def test_multimodal_mnist_style():
     assert losses[-1] < losses[0]  # synthetic blobs are learnable
 
 
+@pytest.mark.slow
 def test_clevr_style_with_cache():
     with tempfile.TemporaryDirectory() as td:
         cache = os.path.join(td, "clevr.h5")
@@ -71,6 +73,7 @@ def test_clevr_style_with_cache():
         assert np.isfinite(out2["history"][0]["loss"])
 
 
+@pytest.mark.slow
 def test_explicit_implicit_harness():
     with tempfile.TemporaryDirectory() as td:
         res = run_experiment(
@@ -94,6 +97,7 @@ def test_sample_config_consistency():
         assert cfg.attention_dim % cfg.heads == 0
 
 
+@pytest.mark.slow
 def test_asha_sweep_small():
     from graphax.data import make_sbm_dataset
     from graphax.train import Trainer
@@ -153,6 +157,7 @@ def test_visualizations(tmp_path):
         assert os.path.exists(p) and os.path.getsize(p) > 0
 
 
+@pytest.mark.slow
 def test_multimodal_dp_training():
     """MNIST-style pixel diffusion with 4-way data parallelism on the
     virtual mesh — gradients psum'd, loss decreases."""

@@ -190,6 +190,7 @@ def community_hub_graph(n=800, e=4800, seed=11):
                             edge_weight=w[order])
 
 
+@pytest.mark.slow
 def test_windowed_hub_spmm_matches_dense(monkeypatch):
     """Windowed strategy with hub extraction from the residual: values and
     grads through make_fstate + laplacian RHS vs the edge-space path."""
@@ -237,6 +238,7 @@ def test_windowed_hub_spmm_matches_dense(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_spmm_hub_parity():
     """Hub-slab sharded SpMM (psum'd slab + dense hub blocks + reduced
     halo) == single-device SpMM, on the virtual CPU mesh; halo shrinks."""
@@ -297,6 +299,7 @@ def test_sharded_spmm_hub_fallback_uniform():
 
 
 
+@pytest.mark.slow
 def test_hub_gate_is_slot_aware():
     """The H-selection gain counts padded gather SLOTS shed by the rest
     layout, not covered edges: at arxiv-like per-tile degrees, ~5% hub

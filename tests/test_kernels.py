@@ -115,6 +115,7 @@ def test_attention_rhs_fast_path_parity(att_type, square_plus):
     np.testing.assert_allclose(dx_tiled, dx_plain, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_through_tiled_path():
     cfg = Config(function="transformer", heads=2, attention_dim=8,
                  hidden_dim=6, self_loop_weight=1.0)

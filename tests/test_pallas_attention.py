@@ -87,6 +87,7 @@ def test_pallas_attention_reweight():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_attention_gradient_replays_xla():
     g = make_graph(seed=6)
     d = 4
@@ -228,6 +229,7 @@ def test_train_forward_routes_pallas_when_supported(monkeypatch):
 
 
 @pytest.mark.parametrize("adjoint", [False, True])
+@pytest.mark.slow
 def test_grand_nl_trains_through_pallas(monkeypatch, adjoint):
     """End to end: GRAND-nl training steps (dopri5; direct and adjoint
     grads) with the per-NFE attention RHS routed through the Pallas
@@ -318,6 +320,7 @@ def test_pallas_norm_idx1_matches_edge_space(square_plus):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_norm_idx1_gradients_replay():
     """Gradients through the norm_idx=1 Pallas forward (XLA-replay vjp with
     the transpose tables) vs direct autodiff of the edge-space path."""

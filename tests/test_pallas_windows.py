@@ -123,6 +123,7 @@ def test_windowed_split_covers_all_edges():
     assert set(ids.tolist()) == set(ids_t.tolist())
 
 
+@pytest.mark.slow
 def test_windowed_gradients_match_xla():
     g = clustered_graph(seed=3)
     rng = np.random.RandomState(4)

@@ -264,6 +264,7 @@ def test_refined_quantile_degenerate():
     assert abs(got - 0.5) < 1e-6
 
 
+@pytest.mark.slow
 def test_distributed_quantile_matches_single():
     """psum'd histogram bisection inside shard_map equals the single-chip
     refined quantile (identical rounds/bins ⇒ identical thresholds)."""

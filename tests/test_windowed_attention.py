@@ -62,6 +62,7 @@ def _edge_ax(cfg, p, g, x):
 @pytest.mark.parametrize("att_type", ["scaled_dot", "cosine_sim", "pearson",
                                       "exp_kernel"])
 @pytest.mark.parametrize("square_plus", [False, True])
+@pytest.mark.slow
 def test_windowed_attention_matches_edge_path(att_type, square_plus):
     cfg = _cfg(attention_type=att_type, square_plus=square_plus)
     g = clustered_graph()
@@ -75,6 +76,7 @@ def test_windowed_attention_matches_edge_path(att_type, square_plus):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_windowed_attention_random_graph_and_ragged_nodes():
     # uniform-random graph (worst case: most edges in the residual) with a
     # node count that is not a multiple of the tile
@@ -105,6 +107,7 @@ def test_windowed_attention_reweight():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_windowed_attention_gradients_match():
     cfg = _cfg()
     g = clustered_graph(seed=1)
@@ -130,6 +133,7 @@ def test_windowed_attention_gradients_match():
 
 @pytest.mark.parametrize("att_type", ["scaled_dot", "cosine_sim", "pearson",
                                       "exp_kernel"])
+@pytest.mark.slow
 def test_pallas_winatt_matches_edge_path(att_type):
     from graphax.kernels.pallas_winatt import windowed_attention_ax_pallas
 
@@ -144,6 +148,7 @@ def test_pallas_winatt_matches_edge_path(att_type):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_winatt_reweight_and_grads():
     from graphax.kernels.pallas_winatt import windowed_attention_ax_pallas
     from graphax.kernels.pallas_windows import densify_windows
