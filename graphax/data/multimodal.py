@@ -171,14 +171,22 @@ class MultimodalGraphDataset:
     questions: np.ndarray   # [B, L, text_dim]
     answers: np.ndarray     # [B]
     num_classes: int
+    # per-sample real question lengths (the reference stores one q_graph
+    # PER QUESTION, `src/data_multi.py:376` `q_graph [B, 2, max_tokens-1]`);
+    # None → every chain is max length and `text_graph` is exact
+    question_lengths: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self.answers)
 
     def __getitem__(self, i):
+        tg = self.text_graph
+        if self.question_lengths is not None:
+            tg = batched_chain_graphs(self.question_lengths[i:i + 1],
+                                      self.questions.shape[1])
         return {
             "modality_data": [self.images[i], self.questions[i]],
-            "modality_graphs": [self.image_graph, self.text_graph],
+            "modality_graphs": [self.image_graph, tg],
             "additional_data": None,
             "labels": self.answers[i],
         }
@@ -187,7 +195,51 @@ class MultimodalGraphDataset:
         idx = np.random.RandomState(seed).permutation(len(self))
         for s in range(0, len(self) - batch_size + 1, batch_size):
             sel = idx[s:s + batch_size]
-            yield (self.images[sel], self.questions[sel], self.answers[sel])
+            yield (self.images[sel], self.questions[sel],
+                   self.answers[sel], sel)
+
+    def text_graphs_for(self, sel) -> Graph:
+        """Stacked per-sample chain graphs for a batch index array —
+        the reference's `[B, 2, E]` per-question edge lists as a
+        leading-axis-stacked Graph to `jax.vmap` over."""
+        if self.question_lengths is None:
+            lens = np.full(len(np.atleast_1d(sel)),
+                           self.questions.shape[1], np.int64)
+        else:
+            lens = self.question_lengths[sel]
+        return batched_chain_graphs(lens, self.questions.shape[1])
+
+
+def batched_chain_graphs(lengths, max_len: int,
+                         self_loop_weight: float = 1.0) -> Graph:
+    """Per-sample chain graphs, stacked on a leading batch axis.
+
+    The reference builds one chain edge list PER question
+    (`src/utils.py:16-42` make_graph, `src/data_multi.py:192-197,376`) so a
+    batch carries `[B, 2, E]` with each sample's own length. TPU-shape
+    realization: every sample's graph lives in the SAME static buffers
+    (num_nodes = max_len, shared edge capacity); sample s has chain edges
+    over its first ``lengths[s]`` tokens (+ self-loops on those tokens),
+    real-edge prefix masked by ``num_edges``. The stacked Graph pytree
+    vmaps over the leading axis (Graph arrays are leaves; num_nodes /
+    strategy are static and identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    lengths = np.atleast_1d(np.asarray(lengths, np.int64))
+    graphs = []
+    for ln in lengths:
+        ln = int(max(min(ln, max_len), 1))
+        src, dst = chain_edge_index(ln)
+        # shared static buffer across the batch: self-loops land on ALL
+        # max_len nodes (build.add_self_loops), chain edges on the first
+        # ln, so capacity = 2(max_len-1) + max_len for every sample
+        g = build.build_graph(src, dst, max_len,
+                              self_loop_weight=self_loop_weight,
+                              pad_multiple=1, strategy="edge",
+                              extra_edge_capacity=2 * (max_len - ln))
+        graphs.append(g)
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *graphs)
 
 
 def build_clevr_style_dataset(num_samples: int = 64, grid: int = 14,
@@ -215,6 +267,8 @@ def build_clevr_style_dataset(num_samples: int = 64, grid: int = 14,
             images = f["images"][:]
             questions = f["questions"][:]
             answers = f["answers"][:]
+            q_lens = (f["question_lengths"][:]
+                      if "question_lengths" in f else None)
     else:
         rng = np.random.RandomState(seed)
         img_ex = ImageFeatureExtractor(feat_dim, grid=grid,
@@ -228,8 +282,15 @@ def build_clevr_style_dataset(num_samples: int = 64, grid: int = 14,
         else:
             raw_imgs = rng.rand(num_samples, grid, grid, 3).astype(np.float32)
         images = img_ex(raw_imgs)
+        # variable question lengths — the reference stores ONE chain graph
+        # per question (`src/data_multi.py:376` q_graph [B, 2, E]); token
+        # positions past a question's length are zero padding
+        q_lens = rng.randint(max(max_question_len // 2, 2),
+                             max_question_len + 1, num_samples)
         token_ids = rng.randint(0, 100, (num_samples, max_question_len))
         questions = txt_ex(token_ids)
+        pad = np.arange(max_question_len)[None, :] >= q_lens[:, None]
+        questions = np.where(pad[:, :, None], 0.0, questions)
         # answers depend on both modalities so VQA training is meaningful
         answers = ((raw_imgs.mean(axis=(1, 2, 3)) * 10).astype(np.int64)
                    + token_ids[:, 0] // 10) % num_classes
@@ -241,6 +302,7 @@ def build_clevr_style_dataset(num_samples: int = 64, grid: int = 14,
                                          grid * grid, feat_dim))
                 f.create_dataset("questions", data=questions)
                 f.create_dataset("answers", data=answers)
+                f.create_dataset("question_lengths", data=q_lens)
 
     ig_row, ig_col = grid_edge_index(grid, grid, diagonals=False)
     image_graph = build.build_graph(ig_row, ig_col, grid * grid,
@@ -252,4 +314,6 @@ def build_clevr_style_dataset(num_samples: int = 64, grid: int = 14,
         image_graph=image_graph, text_graph=text_graph,
         images=np.asarray(images, np.float32),
         questions=np.asarray(questions, np.float32),
-        answers=np.asarray(answers, np.int64), num_classes=num_classes)
+        answers=np.asarray(answers, np.int64), num_classes=num_classes,
+        question_lengths=(np.asarray(q_lens, np.int64)
+                          if q_lens is not None else None))

@@ -159,7 +159,7 @@ def train_clevr_style(epochs: int = 2, batch_size: int = 4,
     rng = jax.random.PRNGKey(seed + 1)
     for epoch in range(1, epochs + 1):
         losses = []
-        for xb, qb, yb in ds.batches(batch_size, seed=epoch):
+        for xb, qb, yb, _sel in ds.batches(batch_size, seed=epoch):
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(xb), jnp.asarray(qb),

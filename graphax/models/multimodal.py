@@ -62,19 +62,32 @@ def make_multimodal_gnn(cfg, num_nodes: int, num_features: int,
         return logits, aux
 
     def apply_batched(params, graph, xs, *, train: bool = False, rng=None,
-                      x2s=None):
+                      x2s=None, graphs=None):
+        """Batch forward. ``graph`` is one topology shared by every sample
+        (pixel grids); pass ``graphs`` — a Graph whose array leaves carry a
+        leading batch axis (e.g. `graphax.data.multimodal
+        .batched_chain_graphs`) — for PER-SAMPLE graphs, the reference's
+        `[B, 2, E]` batched edge lists (`src/GNN_multi.py:27-49`
+        `new_graph`, `src/data_multi.py:376`)."""
         b = xs.shape[0]
         rngs = (jax.random.split(rng, b) if rng is not None
                 else jnp.zeros((b, 2), jnp.uint32))
 
-        def one(x, r, x2):
-            return apply(params, graph, x, train=train,
+        def one(g, x, r, x2):
+            return apply(params, g, x, train=train,
                          rng=r if rng is not None else None, x2=x2)
 
+        if graphs is not None:
+            if x2s is None:
+                return jax.vmap(lambda g, x, r: one(g, x, r, None))(
+                    graphs, xs, rngs)
+            return jax.vmap(one)(graphs, xs, rngs, x2s)
         if x2s is None:
-            logits, aux = jax.vmap(lambda x, r: one(x, r, None))(xs, rngs)
+            logits, aux = jax.vmap(
+                lambda x, r: one(graph, x, r, None))(xs, rngs)
         else:
-            logits, aux = jax.vmap(one)(xs, rngs, x2s)
+            logits, aux = jax.vmap(
+                lambda x, r, x2: one(graph, x, r, x2))(xs, rngs, x2s)
         return logits, aux
 
     def forward_plot_path(params, graph, x, frames: int, *, x2=None):
