@@ -50,18 +50,22 @@ class RowTiles:
 
 def choose_block_edges(row, num_nodes: int, num_edges: int = None,
                        tile: int = 128,
-                       candidates=(512, 768, 1024, 1280, 1536, 1792, 2048,
-                                   2560, 3072, 4096),
-                       block_overhead_slots: int = 300) -> int:
+                       candidates=(384, 512, 640, 768, 1024, 1280, 1536,
+                                   1792, 2048, 2560, 3072, 4096),
+                       block_overhead_slots: int = 90) -> int:
     """Pick the block size minimizing modeled per-NFE cost.
 
     Measured on v5e: the E-sized row gather is row-count-bound (~4.9 ns per
     padded slot, width-independent up to 256 lanes) and each Pallas block
-    carries a ~1-2 µs fixed cost ≈ the gather time of ~300 slots. So
-    cost(Eb) = padded_slots(Eb) + 300·blocks(Eb), with
+    carries a ~0.4 µs fixed cost ≈ the gather time of ~90 slots (r3 block
+    sweep, scripts/profile_windowed.py: Eb 256→640 on a 718k-edge residual
+    traded 1812 blocks for 113k slots at break-even, and the full-graph
+    sweep's 1024-vs-2048 pair reproduces the same ~0.4 µs/block). So
+    cost(Eb) = padded_slots(Eb) + 90·blocks(Eb), with
     padded_slots = Σ_tiles ceil(deg_tile/Eb)·Eb. Uniform-degree graphs pick
-    the largest Eb with no extra padding; skewed/low-degree graphs pick a
-    smaller Eb over padding half-empty blocks."""
+    the largest Eb with no extra padding; skewed/low-degree graphs (e.g.
+    the out-of-window residual) pick a smaller Eb over padding half-empty
+    blocks."""
     row = np.asarray(row)
     e = int(num_edges) if num_edges is not None else row.shape[0]
     t = (num_nodes + tile - 1) // tile
