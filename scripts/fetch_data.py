@@ -80,6 +80,22 @@ MANIFEST["mnist"] = [
               "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz")
 ]
 
+# CLEVR feature-extractor weights (graphax.data.extractors). Discovery
+# rules (find_resnet_checkpoint / find_text_checkpoint):
+# - ResNet-101: any file matching <data-dir>/checkpoints/resnet101*.pth
+#   (torchvision state dict; the reference uses
+#   torchvision.models.resnet101 pretrained, `src/data_multi.py:209`).
+# - BERT: a HuggingFace checkpoint DIRECTORY at
+#   <data-dir>/checkpoints/bert (config.json + weights), e.g.
+#   `BertModel.from_pretrained('bert-base-uncased').save_pretrained(...)`
+#   (the reference tokenizes/embeds with BERT, `src/data_multi.py:252`).
+# The extractor code paths themselves are format-verified without egress
+# by tests/test_extractors_real.py (random weights in the same formats).
+MANIFEST["resnet101"] = [
+    ("https://download.pytorch.org/models/resnet101-63fe2227.pth",
+     "checkpoints/resnet101-63fe2227.pth"),
+]
+
 
 def _sha256(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
