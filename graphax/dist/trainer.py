@@ -121,7 +121,13 @@ class DistTrainer:
 
     def fit(self, epochs: Optional[int] = None, log_every: int = 0,
             use_early_stop: Optional[bool] = None,
-            seed: Optional[int] = None) -> Dict[str, Any]:
+            seed: Optional[int] = None,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 10) -> Dict[str, Any]:
+        """Same contract as `Trainer.fit` including checkpoint/resume:
+        params/opt-state are replicated over the mesh, so the npz
+        checkpoints are byte-compatible with the single-chip Trainer's —
+        a run can stop on 1 chip and resume on N (or vice versa)."""
         cfg = self.cfg
         epochs = cfg.epoch if epochs is None else epochs
         if use_early_stop is None:
@@ -130,7 +136,12 @@ class DistTrainer:
         best = {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0,
                 "epoch": 0, "best_time": 0.0}
         history = []
-        for epoch in range(1, epochs + 1):
+        start_epoch = 1
+        if checkpoint_path is not None:
+            resumed = self._try_resume(checkpoint_path, state)
+            if resumed is not None:
+                state, best, start_epoch = resumed
+        for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             state, loss = self.train_step(state)
             if use_early_stop:
@@ -156,4 +167,45 @@ class DistTrainer:
                       f"{self.part.num_shards} | time {h['time']:.3f}s | "
                       f"loss {loss:.4f} | nfe {h['nfe']} | val "
                       f"{val_acc:.4f} | best val {best['val_acc']:.4f}")
+            if checkpoint_path is not None and \
+                    epoch % checkpoint_every == 0:
+                self._save_ckpt(checkpoint_path, state, best, epoch)
+        if checkpoint_path is not None:
+            self._save_ckpt(checkpoint_path, state, best, epochs)
         return {"best": best, "history": history, "state": state}
+
+    # checkpoint format identical to Trainer's (`train/loop.py::_save_ckpt`)
+    def _save_ckpt(self, path, state: TrainState, best, epoch: int):
+        from graphax.train.checkpoint import save_checkpoint
+
+        save_checkpoint(path, {
+            "params": state.params, "model_state": state.model_state,
+            "opt_state": state.opt_state, "rng": state.rng,
+            "best": {k: jnp.asarray(v) for k, v in best.items()},
+            "epoch": jnp.asarray(epoch),
+        })
+
+    def _try_resume(self, path, template_state: TrainState):
+        import os
+
+        from graphax.train.checkpoint import load_checkpoint
+
+        p = path if path.endswith(".npz") else path + ".npz"
+        if not os.path.exists(p):
+            return None
+        tpl = {
+            "params": template_state.params,
+            "model_state": template_state.model_state,
+            "opt_state": template_state.opt_state,
+            "rng": template_state.rng,
+            "best": {"val_acc": 0.0, "test_acc": 0.0, "train_acc": 0.0,
+                     "epoch": 0, "best_time": 0.0},
+            "epoch": 0,
+        }
+        ck = load_checkpoint(p, like=tpl)
+        state = TrainState(params=ck["params"],
+                           model_state=ck["model_state"],
+                           opt_state=ck["opt_state"], rng=ck["rng"])
+        best = {k: float(v) for k, v in ck["best"].items()}
+        best["epoch"] = int(best["epoch"])
+        return state, best, int(ck["epoch"]) + 1

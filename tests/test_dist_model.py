@@ -382,6 +382,36 @@ def test_sharded_rewire_train_matches_single_chip():
     np.testing.assert_allclose(losses[0], loss1, rtol=5e-3)
 
 
+def test_dist_trainer_checkpoint_resume_and_interchange(tmp_path):
+    """DistTrainer.fit checkpoints and resumes; checkpoints interchange
+    with the single-chip Trainer (replicated params — SURVEY §5.4)."""
+    from graphax.dist.trainer import DistTrainer
+
+    cfg = CFGS["hard_attention_rk4"].replace(epoch=4, mesh_shape=(8,))
+    data = _data(n=64)
+    ck = str(tmp_path / "dist_ck")
+
+    t1 = DistTrainer(cfg, data)
+    out1 = t1.fit(epochs=4, checkpoint_path=ck, checkpoint_every=2, seed=0)
+    assert (tmp_path / "dist_ck.npz").exists()
+
+    # resume continues from epoch 5, not from scratch
+    t2 = DistTrainer(cfg, data)
+    out2 = t2.fit(epochs=6, checkpoint_path=ck, seed=0)
+    assert out2["history"][0]["epoch"] == 5
+    assert len(out2["history"]) == 2
+
+    # single-chip Trainer loads the SAME checkpoint (same pytree)
+    t_single = Trainer(cfg, data)
+    st = t_single.init_state(seed=0)
+    resumed = t_single._try_resume(ck, st)
+    assert resumed is not None
+    state_s, best_s, start_s = resumed
+    np.testing.assert_allclose(
+        np.asarray(state_s.params["m2"]["w"]),
+        np.asarray(out2["state"].params["m2"]["w"]), rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_sharded_beltrami_forward():
     """Beltrami exp_kernel (BLEND) forward runs sharded and matches the
