@@ -393,7 +393,46 @@ def main():
     run_section("arxiv_scale_clustered_windowed", sec_windowed,
                 min_seconds=60)
 
-    # ---- section 3: power-law hub-slab strategy -------------------------
+    # ---- section 3: training step, Pallas vs XLA fwd+bwd ----------------
+    # (round-2 deliverable: the per-NFE TRAINING attention rides Pallas end
+    # to end — kernels.pallas_attention backward kernels)
+    def sec_train():
+        def grad_step(func, p):
+            def step(s, fs):
+                def loss(xx, qw):
+                    pp = {**p, "att": {**p["att"],
+                                       "Q": {**p["att"]["Q"], "w": qw}}}
+                    return jnp.sum(func.rhs(pp, fs, 0.0, xx)
+                                   .astype(jnp.float32))
+
+                gx, gq = jax.grad(loss, argnums=(0, 1))(s,
+                                                        p["att"]["Q"]["w"])
+                # fold a param-grad scalar in so no cotangent is DCE'd
+                return (s * 0.99 + 0.01 * gx.astype(s.dtype)
+                        + (jnp.sum(gq) * 1e-12).astype(s.dtype))
+            return step
+
+        fs_train_pl = make_fstate(g_tiled, x, train=True, cfg=cfg_att)
+        fs_train_xla = make_fstate(g_tiled, x, train=True)
+        _note("train-step: pallas")
+        t_train_pl = bench_chained(grad_step(f_att, p_att), x, fs_train_pl,
+                                   iters=6)
+        RESULTS["train_step"] = {
+            "n_edges": e,
+            "train_rhs_fwdbwd_ms_pallas": round(t_train_pl * 1e3, 2),
+        }
+        emit()
+        _note("train-step: xla")
+        t_train_xla = bench_chained(grad_step(f_att, p_att), x,
+                                    fs_train_xla, iters=6)
+        RESULTS["train_step"].update({
+            "train_rhs_fwdbwd_ms_xla": round(t_train_xla * 1e3, 2),
+            "pallas_vs_xla": round(t_train_xla / t_train_pl, 2),
+        })
+
+    run_section("train_step", sec_train, min_seconds=75)
+
+    # ---- section 4: power-law hub-slab strategy -------------------------
     # Citation graphs are community-structured AND heavy-tailed; the hub
     # layout (kernels.hubs) serves the top-in-degree columns from dense
     # operator blocks against a tiny x[hub_ids] slab — one shared-rhs MXU
@@ -449,44 +488,6 @@ def main():
 
     run_section("arxiv_scale_powerlaw_hub", sec_hub, min_seconds=45)
 
-    # ---- section 4: training step, Pallas vs XLA fwd+bwd ----------------
-    # (round-2 deliverable: the per-NFE TRAINING attention rides Pallas end
-    # to end — kernels.pallas_attention backward kernels)
-    def sec_train():
-        def grad_step(func, p):
-            def step(s, fs):
-                def loss(xx, qw):
-                    pp = {**p, "att": {**p["att"],
-                                       "Q": {**p["att"]["Q"], "w": qw}}}
-                    return jnp.sum(func.rhs(pp, fs, 0.0, xx)
-                                   .astype(jnp.float32))
-
-                gx, gq = jax.grad(loss, argnums=(0, 1))(s,
-                                                        p["att"]["Q"]["w"])
-                # fold a param-grad scalar in so no cotangent is DCE'd
-                return (s * 0.99 + 0.01 * gx.astype(s.dtype)
-                        + (jnp.sum(gq) * 1e-12).astype(s.dtype))
-            return step
-
-        fs_train_pl = make_fstate(g_tiled, x, train=True, cfg=cfg_att)
-        fs_train_xla = make_fstate(g_tiled, x, train=True)
-        _note("train-step: pallas")
-        t_train_pl = bench_chained(grad_step(f_att, p_att), x, fs_train_pl,
-                                   iters=6)
-        RESULTS["train_step"] = {
-            "n_edges": e,
-            "train_rhs_fwdbwd_ms_pallas": round(t_train_pl * 1e3, 2),
-        }
-        emit()
-        _note("train-step: xla")
-        t_train_xla = bench_chained(grad_step(f_att, p_att), x,
-                                    fs_train_xla, iters=6)
-        RESULTS["train_step"].update({
-            "train_rhs_fwdbwd_ms_xla": round(t_train_xla * 1e3, 2),
-            "pallas_vs_xla": round(t_train_xla / t_train_pl, 2),
-        })
-
-    run_section("train_step", sec_train, min_seconds=75)
 
     # ---- section 5: measured chip peaks + rooflines ---------------------
     def sec_roofline():

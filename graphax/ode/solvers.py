@@ -87,6 +87,28 @@ def last_adjoint_bwd_nfe() -> int:
     return _ADJOINT_BWD_NFE["last"]
 
 
+_IO_CALLBACK_OK = None
+
+
+def _io_callback_supported() -> bool:
+    """The axon TPU tunnel rejects host send/recv callbacks at run time
+    ("UNIMPLEMENTED: axon_pjrt does not support host send/recv callbacks"),
+    which made every adjoint training step crash on that hardware. Detect
+    it from the PJRT platform_version string (an executed probe is worse:
+    its async error surfaces at the NEXT device synchronization and
+    poisons an unrelated step). When unsupported, the adjoint silently
+    skips bwd-NFE recording — the bm meter reads 0 there."""
+    global _IO_CALLBACK_OK
+    if _IO_CALLBACK_OK is None:
+        try:
+            pv = str(getattr(jax.devices()[0].client, "platform_version",
+                             ""))
+            _IO_CALLBACK_OK = "axon" not in pv.lower()
+        except Exception:
+            _IO_CALLBACK_OK = True
+    return _IO_CALLBACK_OK
+
+
 def reset_adjoint_bwd_nfe():
     _ADJOINT_BWD_NFE.update(last=0, total=0, count=0)
 
@@ -557,7 +579,7 @@ def odeint_adjoint(func, params, y0, t0, t1, *, method: str = "dopri5",
         z0 = (y1_flat, g_flat, zero_p)
         res = odeint(aug_dynamics, z0, 0.0, float(t1 - t0),
                      differentiable=False, **adj_kwargs)
-        if record_bwd_nfe:
+        if record_bwd_nfe and _io_callback_supported():
             from jax.experimental import io_callback
 
             io_callback(_record_adjoint_nfe, None, res.nfe, ordered=False)

@@ -80,7 +80,25 @@ def run_all(epochs_small=10, epochs_large=3, datasets=None, out_path=None):
                     "linear-probe-hard SBMs where graph structure is "
                     "load-bearing. Full best-params configs, real "
                     "solver/adjoint paths, measured on 1x TPU v5e.\n\n")
-            f.write("| dataset | block | solver | strategy | val | test | "
+            f.write(
+                "**What these numbers are (and are not).** The SBM\n"
+                "accuracies below are a *pipeline smoke signal* — diffusion\n"
+                "trivially wins on an SBM, so they do not demonstrate\n"
+                "reference-accuracy parity on the real datasets (no egress;\n"
+                "see `scripts/fetch_data.py` for the one-command staging\n"
+                "that makes the real runs live). The parity bar is carried\n"
+                "by `tests/test_reference_parity{,_full}.py` (per-step RHS\n"
+                "and full-model logits vs an independent torch\n"
+                "transcription, dopri5 controller pinned to torchdiffeq\n"
+                "conventions) and — strongest — `tests/test_training_parity"
+                ".py`: 50 full Adam epochs tracked epoch-by-epoch against a\n"
+                "transplanted-weights torch twin. Raw-file parsers are\n"
+                "format-verified against committed real-format fixtures\n"
+                "(`tests/test_loader_formats.py`). Once raw data is staged,\n"
+                "`run_gnn --use_best_params` reproduces the reference\n"
+                "protocol seed-for-seed (`data/splits.py`).\n\n")
+            f.write("| dataset (SBM stand-in) | block | solver | strategy "
+                    "| val (SBM) | test (SBM) | "
                     "NFE/ep | s/epoch |\n|---|---|---|---|---|---|---|---|\n")
             for r in rows:
                 if r.get("ok"):
