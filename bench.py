@@ -65,9 +65,23 @@ def time_left() -> float:
 
 
 def _watchdog():
-    """Force-emit and exit 0 before the driver's timeout can hit us."""
+    """Force-emit and exit 0 before the driver's timeout can hit us.
+    The main thread may be mutating RESULTS concurrently — fall back to a
+    headline-only line rather than dying on a serialization race."""
     RESULTS["watchdog_fired"] = True
-    emit()
+    try:
+        emit()
+    except Exception:
+        try:
+            print(json.dumps({
+                "metric": RESULTS.get("metric"),
+                "value": RESULTS.get("value"),
+                "unit": RESULTS.get("unit"),
+                "vs_baseline": RESULTS.get("vs_baseline"),
+                "partial": True, "watchdog_fired": True,
+            }), flush=True)
+        except Exception:
+            pass
     os._exit(0)
 
 
@@ -213,8 +227,10 @@ def build_sorted_edges(n, avg_deg, seed=0):
 
 
 def main():
-    # watchdog fires 15s before the budget so the final emit always lands
-    wd = threading.Timer(max(BUDGET_S - 15.0, 30.0), _watchdog)
+    # watchdog fires before the budget (15s early, or at 90% of a small
+    # budget) so the final emit always lands ahead of any external timeout
+    wd = threading.Timer(max(min(BUDGET_S - 15.0, BUDGET_S * 0.9), 5.0),
+                         _watchdog)
     wd.daemon = True
     wd.start()
     emit()  # a parseable (empty-value) line exists from second zero

@@ -182,8 +182,13 @@ class MultimodalGraphDataset:
     def __getitem__(self, i):
         tg = self.text_graph
         if self.question_lengths is not None:
-            tg = batched_chain_graphs(self.question_lengths[i:i + 1],
-                                      self.questions.shape[1])
+            import jax
+
+            stacked = batched_chain_graphs(self.question_lengths[i:i + 1],
+                                           self.questions.shape[1])
+            # per-sample item contract: an UNBATCHED Graph (squeeze the
+            # stacking axis), like image_graph in the same list
+            tg = jax.tree_util.tree_map(lambda a: a[0], stacked)
         return {
             "modality_data": [self.images[i], self.questions[i]],
             "modality_graphs": [self.image_graph, tg],

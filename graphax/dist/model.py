@@ -280,8 +280,8 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         shared over heads, segment softmax over attention_norm_idx.
         Returns (att [E,H], wx [Nb,A], wx_ext [Nb+H,A])."""
         row, col = tbl["local_row"], tbl["local_col"]
-        wx = x @ gat_params["W"]                       # [Nb, att_dim]
-        wx_ext = x_ext @ gat_params["W"]               # halo'd once by caller
+        wx_ext = x_ext @ gat_params["W"]               # [Nb+H, att_dim]
+        wx = wx_ext[:nb]                               # owned-rows prefix
         d_k = cfg.attention_dim // heads
         h = wx.reshape(nb, heads, d_k)
         h_ext = wx_ext.reshape(wx_ext.shape[0], heads, d_k)

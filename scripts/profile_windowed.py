@@ -86,10 +86,10 @@ def main():
     t_res = timed("residual spmm only", lambda c:
                   spmm_pallas(res, res_t, c, wt.residual, wt.residual_t))
 
-    res_slots = int(np.asarray(wt.residual.slot_mask).sum())
     res_edges = int(np.asarray(wt.residual.slot_mask).sum())
     n_blocks = int(wt.residual.edge_slot.shape[0])
     eb = int(wt.residual.edge_slot.shape[1])
+    capacity = n_blocks * eb   # the gather is slot-bound over CAPACITY
     print(json.dumps({
         "platform": platform,
         "t_full_ms": round(t_full * 1e3, 3),
@@ -100,8 +100,9 @@ def main():
                                 / int(np.asarray(gw0.num_edges)), 3),
         "residual": {
             "blocks": n_blocks, "block_edges": eb,
-            "padded_slots": res_slots,
-            "slot_bytes_mb": round(res_slots * d
+            "real_edges": res_edges,
+            "capacity_slots": capacity,
+            "slot_bytes_mb": round(capacity * d
                                    * jnp.dtype(dtype).itemsize / 1e6, 1),
         },
         "win": {
