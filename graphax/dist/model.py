@@ -90,7 +90,13 @@ def _check_supported(cfg):
         # it with a per-NFE all_gather, which requires pinned edge values
         assert cfg.function == "laplacian", \
             "sharded rewire_attention integrates pinned values (laplacian)"
-    assert not cfg.multi_modal, "sharded multimodal path not wired yet"
+    # Multimodal diffuses tiny grid/chain graphs (≤ a few hundred nodes)
+    # where node-sharding has nothing to win; its multi-chip axis is DATA
+    # parallelism over the batch, which graphax.dist.data_parallel provides
+    # (tests/test_drivers.py::test_multimodal_dp_training).
+    assert not cfg.multi_modal, \
+        "multimodal scales by batch DP (graphax.dist.data_parallel), " \
+        "not node sharding"
 
 
 def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
