@@ -101,13 +101,22 @@ def _check_supported(cfg):
 
 def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                      num_features: int, num_classes: int,
-                     optimizer=None, axis_name: str = "graph") -> ShardedGNN:
+                     optimizer=None, axis_name: str = "graph",
+                     local_tiles="auto") -> ShardedGNN:
     """Build the sharded model over ``mesh``'s ``axis_name`` axis.
 
     ``part`` must carry ALREADY-NORMALIZED edge weights (apply
     `graphax.blocks.common.normalize_graph` before `partition_graph` — the
     weights are static through training, so the reference's per-forward
-    normalization is hoisted to partition time)."""
+    normalization is hoisted to partition time).
+
+    ``local_tiles``: run each shard's per-NFE segment reductions on the
+    row-tiled MXU path (graphax.kernels.segment_mxu — no E-sized scatters,
+    the measured basis of SCALING.md's per-shard T_comp) instead of XLA
+    segment ops. The laplacian path keeps the halo/compute overlap: the
+    split tables get their own tile sets, so the halo-independent tiled
+    SpMM still has no data dependency on the all_to_all. "auto" enables it
+    when the shard block is at least one 128-row tile."""
     _check_supported(cfg)
     from graphax.models import make_gnn
     from graphax.train.optimizers import get_optimizer
@@ -136,6 +145,40 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         node_mask=jnp.asarray(part.node_mask),
         **{k: jnp.asarray(v) for k, v in split.items()},
     )
+    if local_tiles == "auto":
+        local_tiles = nb >= 128
+    tile_tpls = {}
+    if local_tiles:
+        from graphax.dist.partition import (
+            shard_row_tiles, shard_row_tiles_subset,
+        )
+
+        # three tile sets: full extended-col edges (transformer/GAT _spmm
+        # over x_ext) + the overlap split pair (laplacian _spmm_overlap)
+        tset = {
+            "rt_": shard_row_tiles(part),
+            "lt_": shard_row_tiles_subset(
+                part, split["loc_slot"], split["loc_mask"],
+                split["loc_row"], split["loc_col"]),
+            "ht_": shard_row_tiles_subset(
+                part, split["halo_slot"], split["halo_mask"],
+                split["halo_row"], split["halo_col"]),
+        }
+        for pfx, t in tset.items():
+            for f in ("edge_slot", "slot_mask", "col", "local_row",
+                      "tile_idx"):
+                tables[pfx + f] = getattr(t, f)
+            tile_tpls[pfx] = dataclasses.replace(
+                t, edge_slot=t.edge_slot[0], slot_mask=t.slot_mask[0],
+                col=t.col[0], local_row=t.local_row[0],
+                tile_idx=t.tile_idx[0])
+
+    def _mk_tiles(tbl, pfx):
+        return dataclasses.replace(
+            tile_tpls[pfx], edge_slot=tbl[pfx + "edge_slot"],
+            slot_mask=tbl[pfx + "slot_mask"], col=tbl[pfx + "col"],
+            local_row=tbl[pfx + "local_row"], tile_idx=tbl[pfx + "tile_idx"])
+
     if cfg.block == "rewire_attention":
         # rewiring builds a dense row-slab operator in the PADDED GLOBAL
         # node space [0, P·Nb): map each local edge's extended col index
@@ -315,6 +358,10 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         return att
 
     def _spmm(vals, x_ext, tbl):
+        if local_tiles:
+            from graphax.kernels.segment_mxu import tiled_spmm
+
+            return tiled_spmm(vals, x_ext, _mk_tiles(tbl, "rt_"))
         gathered = x_ext[tbl["local_col"]] * vals[:, None].astype(x_ext.dtype)
         return jax.ops.segment_sum(gathered, tbl["local_row"],
                                    num_segments=nb)
@@ -327,12 +374,21 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         """Per-NFE diffusion product with the halo exchange overlapped with
         the halo-independent partial sum (SURVEY §2.8): the local-edge
         segment reduction has no data dependency on the all_to_all, so
-        XLA's latency-hiding scheduler runs it while the collective flies."""
+        XLA's latency-hiding scheduler runs it while the collective flies.
+        With ``local_tiles`` both halves run on the MXU row-tiled path
+        (their own tile sets over the split tables) — the overlap
+        structure is identical."""
         d = z.shape[-1]
         send_buf = z[tbl["send_idx"].reshape(-1)] \
             .reshape(p_sh, hp, d)
         recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
                                   concat_axis=0, tiled=False)
+        if local_tiles:
+            from graphax.kernels.segment_mxu import tiled_spmm
+
+            out = tiled_spmm(vals, z, _mk_tiles(tbl, "lt_"))
+            halo = recv.reshape(p_sh * hp, d)[tbl["halo_gather"]]
+            return out + tiled_spmm(vals, halo, _mk_tiles(tbl, "ht_"))
         w_loc = jnp.where(tbl["loc_mask"], vals[tbl["loc_slot"]], 0.0)
         out = jax.ops.segment_sum(
             z[tbl["loc_col"]] * w_loc[:, None].astype(z.dtype),

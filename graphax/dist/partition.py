@@ -190,28 +190,59 @@ def shard_row_tiles(part: EdgePartition, tile: int = 128,
     :class:`graphax.kernels.tiles.RowTiles` whose arrays carry a leading
     shard axis [P, ...]; static sizes (tiles / blocks / block_edges) are
     equalized across shards by padding with inert blocks."""
+    p = part.num_shards
+    rows = [part.local_row[s][part.edge_mask[s]] for s in range(p)]
+    cols = [part.local_col[s][part.edge_mask[s]] for s in range(p)]
+    slots = [np.where(part.edge_mask[s])[0] for s in range(p)]
+    return shard_row_tiles_from(rows, cols, slots, part.block_size,
+                                tile=tile, block_edges=block_edges)
+
+
+def shard_row_tiles_subset(part: EdgePartition, slot, mask, row, col,
+                           tile: int = 128, block_edges: int = None):
+    """Per-shard row tiles for an EDGE SUBSET given as stacked split tables
+    (the `halo_split_tables` format: ``slot [P, E']`` indexes the shard's
+    [Es] value buffer, ``col`` already offset into its source buffer —
+    local block for the halo-independent edges, halo buffer for the rest).
+    Enables the MXU local compute on each half of the overlap split."""
+    p = part.num_shards
+    rows = [np.asarray(row[s])[np.asarray(mask[s])] for s in range(p)]
+    cols = [np.asarray(col[s])[np.asarray(mask[s])] for s in range(p)]
+    slots = [np.asarray(slot[s])[np.asarray(mask[s])] for s in range(p)]
+    return shard_row_tiles_from(rows, cols, slots, part.block_size,
+                                tile=tile, block_edges=block_edges)
+
+
+def shard_row_tiles_from(rows, cols, slots, nb: int, tile: int = 128,
+                         block_edges: int = None):
+    """Core of :func:`shard_row_tiles`: per-shard lists of (row, col,
+    value-buffer slot) → stacked RowTiles. ``cols`` may index ANY source
+    buffer (local block, extended local+halo, or the halo buffer alone) —
+    `tiled_spmm` just gathers ``x[col]`` from whatever x it is given."""
     import jax.numpy as jnp
 
     from graphax.kernels.tiles import RowTiles, build_row_tiles, \
         choose_block_edges
 
-    p, nb = part.num_shards, part.block_size
+    p = len(rows)
     per = []
     if block_edges is None:
         block_edges = max(
-            choose_block_edges(
-                np.sort(part.local_row[s][part.edge_mask[s]]), nb, tile=tile)
+            choose_block_edges(np.sort(rows[s]), nb, tile=tile)
             for s in range(p))
     for s in range(p):
-        m = part.edge_mask[s]
-        lr = part.local_row[s][m]
-        lc = part.local_col[s][m]
-        slots = np.where(m)[0]
+        lr = np.asarray(rows[s])
+        lc = np.asarray(cols[s])
+        sl = np.asarray(slots[s])
         order = np.argsort(lr, kind="stable")   # bfs relabel breaks order
         t = build_row_tiles(lr[order], lc[order], nb,
                             tile=tile, block_edges=block_edges)
         # edge_slot indexes the sorted view; remap into the shard buffer
-        remapped = slots[order][np.asarray(t.edge_slot)]
+        # (a shard may own ZERO subset edges — e.g. no halo-dependent
+        # edges — and still carry padded blocks)
+        es = np.asarray(t.edge_slot)
+        remapped = sl[order][es] if sl.size else np.zeros(es.shape,
+                                                          np.int64)
         per.append((np.where(np.asarray(t.slot_mask), remapped, 0),
                     np.asarray(t.slot_mask), np.asarray(t.col),
                     np.asarray(t.local_row), np.asarray(t.tile_idx),

@@ -31,7 +31,7 @@ class DistTrainer:
     partitioning uses the native BFS community partitioner by default."""
 
     def __init__(self, cfg, data: GraphData, mesh=None,
-                 partition_method: str = "bfs"):
+                 partition_method: str = "bfs", local_tiles="auto"):
         self.cfg = cfg
         self.data = data
         n_graph = int(np.prod(cfg.mesh_shape))
@@ -42,7 +42,8 @@ class DistTrainer:
         except Exception:
             self.part = normalized_partition(cfg, data.graph, n_graph)
         self.model = make_sharded_gnn(self.mesh, self.part, cfg,
-                                      data.num_features, data.num_classes)
+                                      data.num_features, data.num_classes,
+                                      local_tiles=local_tiles)
         from graphax.train.optimizers import get_optimizer
 
         self.tx = get_optimizer(cfg.optimizer, cfg.lr, cfg.decay)

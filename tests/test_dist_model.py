@@ -62,11 +62,15 @@ CFGS = {
 }
 
 
+@pytest.mark.parametrize("local_tiles", [False, True],
+                         ids=["xla-local", "mxu-tiled-local"])
 @pytest.mark.parametrize("name", sorted(CFGS))
-def test_sharded_forward_matches_single_chip(name):
+def test_sharded_forward_matches_single_chip(name, local_tiles):
     """Transplanted weights, eval forward: sharded logits == Trainer logits
     (same solver step sequences — the masked psum'd norm reproduces the
-    single-chip error norm exactly)."""
+    single-chip error norm exactly). ``mxu-tiled-local`` runs each shard's
+    per-NFE reductions on the row-tiled MXU path (graphax.kernels
+    .segment_mxu) including the overlap-split tile pair."""
     cfg = CFGS[name]
     data = _data()
     trainer = Trainer(cfg, data)
@@ -75,7 +79,7 @@ def test_sharded_forward_matches_single_chip(name):
     mesh = make_mesh((8,), ("graph",))
     part = normalized_partition(cfg, data.graph, 8)
     sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
-                               data.num_classes)
+                               data.num_classes, local_tiles=local_tiles)
     xs, ys, m_tr, m_va, m_te = _shard_all(data, part)
 
     logits_sh = unshard_nodes(
@@ -86,6 +90,39 @@ def test_sharded_forward_matches_single_chip(name):
         state.params, state.model_state, data.graph, feat, train=False)
     np.testing.assert_allclose(logits_sh, np.asarray(logits_1), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_sharded_tiled_local_training_matches_xla_local():
+    """Training losses with the MXU-tiled local compute track the XLA-local
+    sharded model AND the single-chip Trainer (laplacian overlap split +
+    transformer per-NFE recompute both exercised)."""
+    for name in ("attention_dopri5", "transformer_bn"):
+        cfg = CFGS[name]
+        data = _data(n=64)
+        trainer = Trainer(cfg, data)
+        st = trainer.init_state(seed=0)
+        mesh = make_mesh((8,), ("graph",))
+        part = normalized_partition(cfg, data.graph, 8)
+        xs, ys, m_tr, *_ = _shard_all(data, part)
+
+        losses = {}
+        for lt in (False, True):
+            sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                                       data.num_classes, local_tiles=lt)
+            params, mstate = st.params, st.model_state
+            opt_state = trainer.tx.init(params)
+            ls = []
+            for i in range(2):
+                params, mstate, opt_state, loss, nfe = sharded.train_step(
+                    params, mstate, opt_state, xs, ys, m_tr,
+                    jax.random.fold_in(jax.random.PRNGKey(1), i))
+                ls.append(float(np.ravel(np.asarray(loss))[0]))
+            losses[lt] = ls
+        np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4,
+                                   atol=2e-5)
+        state, loss1 = trainer.train_step(st)
+        np.testing.assert_allclose(losses[True][0], loss1, rtol=2e-4,
+                                   atol=2e-5)
 
 
 @pytest.mark.parametrize("name", ["attention_dopri5", "hard_attention_rk4"])
