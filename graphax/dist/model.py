@@ -268,6 +268,22 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                 denom = _ext_segment_sum(out, tbl)[tbl["local_col"]]
             return out / (denom + EPS)
         if is_row:
+            if local_tiles:
+                # MXU path: global-shift softmax (graphax.kernels
+                # .segment_mxu.tiled_segment_softmax semantics — softmax is
+                # shift-invariant; the shift must be global ACROSS shards so
+                # every device exponentiates identically)
+                from graphax.kernels.segment_mxu import tiled_segment_sum
+
+                # the shift is exact to drop from the gradient (softmax is
+                # shift-invariant); pmax has no differentiation rule anyway
+                gmax = jax.lax.pmax(
+                    jnp.max(jax.lax.stop_gradient(s)), axis_name)
+                gmax = jnp.where(gmax <= NEG / 2, 0.0, gmax)
+                e = jnp.where(mask[:, None], jnp.exp(s - gmax), 0.0)
+                denom = tiled_segment_sum(
+                    e, _mk_tiles(tbl, "rt_"))[tbl["local_row"]]
+                return e / jnp.where(denom > 0, denom, 1.0)
             smax = jax.ops.segment_max(s, tbl["local_row"], num_segments=nb)
             smax = jnp.where(smax <= NEG / 2, 0.0, smax)
             e = jnp.where(mask[:, None],
