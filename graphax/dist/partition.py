@@ -104,10 +104,14 @@ def partition_graph(graph: Graph, num_shards: int,
         uniq = np.unique(remote)
         requests.append([uniq[(uniq // nb) == t] for t in range(p)])
 
-    hp = _round_up(max((len(r) for req in requests for r in req),
-                       default=1), pad_multiple)
-    h = _round_up(max((sum(len(r) for r in req) for req in requests),
-                      default=1), pad_multiple)
+    # floor of 1 slot (rounded up to the pad multiple): a halo-FREE
+    # partition (single shard, or fully community-aligned) must still carry
+    # non-empty static halo buffers — downstream gathers/all_to_alls are
+    # shape-polymorphic over the halo size but not over zero
+    hp = _round_up(max(max((len(r) for req in requests for r in req),
+                           default=1), 1), pad_multiple)
+    h = _round_up(max(max((sum(len(r) for r in req) for req in requests),
+                          default=1), 1), pad_multiple)
 
     local_row = np.zeros((p, es), np.int32)
     local_col = np.zeros((p, es), np.int32)

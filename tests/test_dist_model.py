@@ -419,6 +419,33 @@ def test_sharded_rewire_train_matches_single_chip():
     np.testing.assert_allclose(losses[0], loss1, rtol=5e-3)
 
 
+def test_single_shard_mesh_trains():
+    """A 1-shard mesh (halo-free partition) must work: the halo tables get
+    a non-empty floor (regression: zero-size halo buffers crashed the
+    gather in _spmm_overlap), and both local-compute paths agree."""
+    cfg = CFGS["attention_dopri5"]
+    data = _data(n=64)
+    mesh = make_mesh((1,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 1)
+    assert part.halo_size > 0 and part.pair_size > 0
+    xs, ys, m_tr, *_ = _shard_all(data, part)
+    trainer = Trainer(cfg, data)
+    st = trainer.init_state(seed=0)
+    losses = {}
+    for lt in (False, True):
+        sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                                   data.num_classes, local_tiles=lt)
+        params, mstate = st.params, st.model_state
+        opt_state = trainer.tx.init(params)
+        _, _, _, loss, _ = sharded.train_step(
+            params, mstate, opt_state, xs, ys, m_tr, jax.random.PRNGKey(0))
+        losses[lt] = float(np.ravel(np.asarray(loss))[0])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
+    # and matches the single-chip Trainer exactly (1 shard == 1 chip)
+    _, loss1 = trainer.train_step(st)
+    np.testing.assert_allclose(losses[False], loss1, rtol=2e-4, atol=2e-5)
+
+
 def test_dist_trainer_checkpoint_resume_and_interchange(tmp_path):
     """DistTrainer.fit checkpoints and resumes; checkpoints interchange
     with the single-chip Trainer (replicated params — SURVEY §5.4)."""
