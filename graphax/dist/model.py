@@ -153,8 +153,19 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             shard_row_tiles, shard_row_tiles_subset,
         )
 
-        # three tile sets: full extended-col edges (transformer/GAT _spmm
-        # over x_ext) + the overlap split pair (laplacian _spmm_overlap)
+        # four tile sets: full extended-col edges (transformer/GAT _spmm
+        # over x_ext), the overlap split pair (laplacian _spmm_overlap),
+        # and a TRANSPOSE layout over the extended col space — the
+        # custom-VJP backward's dx_ext runs as a tiled SpMM on it instead
+        # of the E-sized scatter autodiff would emit for the gather
+        from graphax.dist.partition import shard_row_tiles_from
+
+        rows_t, cols_t, slots_t = [], [], []
+        for s in range(p_sh):
+            m = part.edge_mask[s]
+            rows_t.append(part.local_col[s][m])     # out: extended cols
+            cols_t.append(part.local_row[s][m])     # gather: owned rows
+            slots_t.append(np.where(m)[0])
         tset = {
             "rt_": shard_row_tiles(part),
             "lt_": shard_row_tiles_subset(
@@ -163,6 +174,7 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             "ht_": shard_row_tiles_subset(
                 part, split["halo_slot"], split["halo_mask"],
                 split["halo_row"], split["halo_col"]),
+            "rtT_": shard_row_tiles_from(rows_t, cols_t, slots_t, ext),
         }
         for pfx, t in tset.items():
             for f in ("edge_slot", "slot_mask", "col", "local_row",
@@ -178,6 +190,43 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             tile_tpls[pfx], edge_slot=tbl[pfx + "edge_slot"],
             slot_mask=tbl[pfx + "slot_mask"], col=tbl[pfx + "col"],
             local_row=tbl[pfx + "local_row"], tile_idx=tbl[pfx + "tile_idx"])
+
+    # custom-VJP tiled SpMM over the halo-extended state: forward = the
+    # overlap-split pair (x_ext[:nb] simplifies to z, so the local half
+    # still has no data dependency on the all_to_all); backward dx_ext =
+    # one tiled SpMM on the TRANSPOSE layout (scatter-free — autodiff's
+    # gather transpose is an E-sized scatter-add, ~40 ms/NFE at arxiv
+    # scale), dw = per-edge g[row]·x_ext[col] by direct gathers. Integer
+    # table cotangents are float0 (same contract as pallas_tiled's
+    # custom-vjp SpMM).
+    def _zero_ct(a):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.zeros_like(a)
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    @jax.custom_vjp
+    def _spmm_cv(vals, x_ext, tbl):
+        from graphax.kernels.segment_mxu import tiled_spmm
+
+        return (tiled_spmm(vals, x_ext[:nb], _mk_tiles(tbl, "lt_"))
+                + tiled_spmm(vals, x_ext[nb:], _mk_tiles(tbl, "ht_")))
+
+    def _spmm_cv_fwd(vals, x_ext, tbl):
+        return _spmm_cv(vals, x_ext, tbl), (vals, x_ext, tbl)
+
+    def _spmm_cv_bwd(res, g):
+        from graphax.kernels.segment_mxu import tiled_spmm
+
+        vals, x_ext, tbl = res
+        gf = g.astype(x_ext.dtype)
+        dxe = tiled_spmm(vals, gf, _mk_tiles(tbl, "rtT_"))     # [ext, D]
+        ge = gf[tbl["local_row"]].astype(jnp.float32)
+        xe = x_ext[tbl["local_col"]].astype(jnp.float32)
+        dw = jnp.where(tbl["edge_mask"], jnp.sum(ge * xe, axis=-1), 0.0)
+        dtbl = jax.tree_util.tree_map(_zero_ct, tbl)
+        return (dw.astype(vals.dtype), dxe.astype(x_ext.dtype), dtbl)
+
+    _spmm_cv.defvjp(_spmm_cv_fwd, _spmm_cv_bwd)
 
     if cfg.block == "rewire_attention":
         # rewiring builds a dense row-slab operator in the PADDED GLOBAL
@@ -375,9 +424,7 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
 
     def _spmm(vals, x_ext, tbl):
         if local_tiles:
-            from graphax.kernels.segment_mxu import tiled_spmm
-
-            return tiled_spmm(vals, x_ext, _mk_tiles(tbl, "rt_"))
+            return _spmm_cv(vals, x_ext, tbl)
         gathered = x_ext[tbl["local_col"]] * vals[:, None].astype(x_ext.dtype)
         return jax.ops.segment_sum(gathered, tbl["local_row"],
                                    num_segments=nb)
@@ -400,11 +447,8 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
                                   concat_axis=0, tiled=False)
         if local_tiles:
-            from graphax.kernels.segment_mxu import tiled_spmm
-
-            out = tiled_spmm(vals, z, _mk_tiles(tbl, "lt_"))
             halo = recv.reshape(p_sh * hp, d)[tbl["halo_gather"]]
-            return out + tiled_spmm(vals, halo, _mk_tiles(tbl, "ht_"))
+            return _spmm_cv(vals, jnp.concatenate([z, halo], axis=0), tbl)
         w_loc = jnp.where(tbl["loc_mask"], vals[tbl["loc_slot"]], 0.0)
         out = jax.ops.segment_sum(
             z[tbl["loc_col"]] * w_loc[:, None].astype(z.dtype),
