@@ -218,6 +218,11 @@ def _odeint_fixed(flat_func, y0_flat, t0, t1, method, step_size, observer,
     hs = jnp.asarray(np.diff(ts), tdt)
     n_stages = len(TABLEAUS[method].c)
 
+    # rematerialize each step in the backward pass (same trade as the
+    # adaptive differentiable path): without this the scan stores every
+    # stage's activations — a per-NFE attention recompute at ogbn-arxiv
+    # scale needs >100 GB of HBM saved, with it memory is O(carry)
+    @jax.checkpoint
     def body(carry, t_h):
         y, obs = carry
         t, h = t_h
@@ -308,6 +313,7 @@ def _odeint_adams(flat_func, y0_flat, t0, t1, method, step_size, observer,
         if observer is not None:
             obs = observer.update(obs, t_i + h_i, unravel(y))
 
+    @jax.checkpoint   # O(carry) backward memory, like the other scans
     def body(carry, t_h):
         y, hist, obs = carry
         t, h = t_h
