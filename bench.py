@@ -22,15 +22,17 @@ the host — on the tunneled device platform `jax.block_until_ready` returns
 before the computation has run, so only a host transfer is a real sync.
 The measured round-trip latency of an empty jit call is subtracted.
 
-**Timeout-proof protocol** (round-3): the headline JSON line is printed as
-soon as the first measurement lands, then a cumulative JSON line is
-re-printed after every section (the last line on stdout is always the
-richest complete snapshot). Each section checks the remaining wall-clock
-budget (``BENCH_BUDGET_S``, default 540 s) and records
+**Timeout-proof protocol** (round-3, output split in round-4): stdout
+carries ONLY compact headline JSON lines
+(metric/value/unit/vs_baseline/partial — the last line is always the
+freshest), so the driver's tail capture can never truncate the head of an
+over-long line (the r3 failure mode: ``BENCH_r03.json parsed: null``).
+The full cumulative detail snapshot is rewritten to ``bench_local.json``
+next to this file after every section. Each section checks the remaining
+wall-clock budget (``BENCH_BUDGET_S``, default 540 s) and records
 ``{"skipped": "budget"}`` instead of starting something it cannot finish;
-a daemon watchdog force-emits the current snapshot and exits 0 shortly
-before the budget expires, so a hung tunnel compile can never yield an
-empty artifact.
+a daemon watchdog force-emits and exits 0 shortly before the budget
+expires, so a hung tunnel compile can never yield an empty artifact.
 """
 
 import dataclasses
@@ -54,10 +56,32 @@ def _note(msg):
           f"{msg}", file=sys.stderr, flush=True)
 
 
+_DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_local.json")
+
+
 def emit():
-    """Re-print the cumulative snapshot as one JSON line (last line wins)."""
+    """Persist the full cumulative snapshot to bench_local.json and print a
+    COMPACT headline JSON line to stdout (last line wins; short enough that
+    the driver's tail capture can never truncate it)."""
     with _EMIT_LOCK:
-        print(json.dumps(RESULTS), flush=True)
+        try:
+            tmp = _DETAIL_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(RESULTS, f, indent=1)
+            os.replace(tmp, _DETAIL_PATH)
+        except Exception as e:  # detail file is best-effort
+            _note(f"bench_local.json write failed: {e}")
+        head = {
+            "metric": RESULTS.get("metric"),
+            "value": RESULTS.get("value"),
+            "unit": RESULTS.get("unit"),
+            "vs_baseline": RESULTS.get("vs_baseline"),
+            "partial": RESULTS.get("partial", True),
+        }
+        if RESULTS.get("watchdog_fired"):
+            head["watchdog_fired"] = True
+        print(json.dumps(head), flush=True)
 
 
 def time_left() -> float:

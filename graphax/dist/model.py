@@ -102,7 +102,8 @@ def _check_supported(cfg):
 def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                      num_features: int, num_classes: int,
                      optimizer=None, axis_name: str = "graph",
-                     local_tiles="auto") -> ShardedGNN:
+                     local_tiles="auto", window: int = 512,
+                     hub_candidates=(128, 256, 512, 1024)) -> ShardedGNN:
     """Build the sharded model over ``mesh``'s ``axis_name`` axis.
 
     ``part`` must carry ALREADY-NORMALIZED edge weights (apply
@@ -145,9 +146,31 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         node_mask=jnp.asarray(part.node_mask),
         **{k: jnp.asarray(v) for k, v in split.items()},
     )
-    if local_tiles == "auto":
-        local_tiles = nb >= 128
+    # local-compute mode: "auto" -> row-tiled MXU when the shard block
+    # spans at least one 128-row tile; "windowed" adds the block-dense
+    # window strategy for the laplacian per-NFE SpMM (community-ordered
+    # graphs — graphax.kernels.windows, sharded); "hub" adds the
+    # psum'd hub-slab + reduced-halo remainder (power-law graphs,
+    # static edge values — graphax.kernels.hubs, sharded). Attention
+    # pinning / transformer / GAT paths always ride the row-tiled sets.
+    mode = local_tiles
+    if mode == "auto":
+        mode = "tiles" if nb >= 128 else False
+    if mode is True:
+        mode = "tiles"
+    win_mode = mode == "windowed"
+    hub_mode = mode == "hub"
+    local_tiles = bool(mode)
+    if win_mode:
+        assert cfg.function == "laplacian" and \
+            cfg.block != "rewire_attention", \
+            "windowed local compute serves the laplacian per-NFE SpMM"
+    if hub_mode:
+        assert cfg.function == "laplacian" and cfg.block == "constant", \
+            "hub-slab local compute needs static edge values " \
+            "(constant block + laplacian)"
     tile_tpls = {}
+    win_consts = hub_consts = None
     if local_tiles:
         from graphax.dist.partition import (
             shard_row_tiles, shard_row_tiles_subset,
@@ -184,12 +207,116 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                 t, edge_slot=t.edge_slot[0], slot_mask=t.slot_mask[0],
                 col=t.col[0], local_row=t.local_row[0],
                 tile_idx=t.tile_idx[0])
+        # slot permutation row-layout -> transpose-layout per shard: its
+        # presence on the rtT_ RowTiles enables the streaming-Pallas
+        # attention BACKWARD (graphax.kernels.pallas_attention B1/B2/B3)
+        # inside the sharded per-NFE transformer RHS
+        es_r = np.asarray(tset["rt_"].edge_slot)
+        m_r = np.asarray(tset["rt_"].slot_mask)
+        es_t = np.asarray(tset["rtT_"].edge_slot)
+        m_t = np.asarray(tset["rtT_"].slot_mask)
+        es_cap = int(part.local_row.shape[1])
+        perms = []
+        for s in range(p_sh):
+            inv = np.zeros(max(es_cap, 1), np.int64)
+            fr, fm = es_r[s].reshape(-1), m_r[s].reshape(-1)
+            inv[fr[fm]] = np.nonzero(fm)[0]
+            ft, fmt = es_t[s].reshape(-1), m_t[s].reshape(-1)
+            perms.append(np.where(fmt, inv[ft], 0).astype(np.int32))
+        tables["rtT_perm"] = jnp.asarray(np.stack(perms))
+
+    if win_mode:
+        from graphax.dist.sharded import (
+            shard_window_tables, windowed_overlap_pack,
+        )
+
+        wtab = shard_window_tables(part, window=window)
+        for k, v in windowed_overlap_pack(part, wtab).items():
+            tables["wd_" + k] = jnp.asarray(v)
+        win_consts = dict(
+            nb=nb, nw=wtab["num_windows"],
+            nwl=(nb + wtab["window"] - 1) // wtab["window"], ext=ext,
+            t=wtab["num_tiles"], tile=wtab["tile"],
+            window=wtab["window"])
+    if hub_mode:
+        from graphax.dist.partition import partition_graph
+        from graphax.dist.sharded import (
+            _relabeled_edges, halo_split_tables,
+        )
+        from graphax.sparse.graph import Graph as _Graph
+
+        row_rel, col_rel, w_rel = _relabeled_edges(part)
+        n_rel = p_sh * nb
+        indeg = np.bincount(col_rel, minlength=n_rel)
+        order = np.argsort(indeg)[::-1]
+        h_cand = [h for h in hub_candidates if h <= n_rel]
+        assert h_cand, f"no hub candidate <= {n_rel} nodes"
+        hub_h = h_cand[-1]
+        hub_ids = np.sort(order[:hub_h])
+        rank = np.full(n_rel, -1, np.int64)
+        rank[hub_ids] = np.arange(hub_h)
+        is_hub = rank[col_rel] >= 0
+        tile_h = 8
+        t_h = (nb + tile_h - 1) // tile_h
+        nbp_h = t_h * tile_h
+        dense_hub = np.zeros((p_sh, nbp_h, hub_h), np.float32)
+        sh_ = row_rel[is_hub] // nb
+        np.add.at(dense_hub, (sh_, row_rel[is_hub] % nb,
+                              rank[col_rel[is_hub]]), w_rel[is_hub])
+        own_counts = np.bincount(hub_ids // nb, minlength=p_sh)
+        ho = max(int(own_counts.max()), 1)
+        own_slot = np.zeros((p_sh, ho), np.int32)
+        own_rank = np.zeros((p_sh, ho), np.int32)
+        own_mask = np.zeros((p_sh, ho), bool)
+        for s in range(p_sh):
+            mine = hub_ids[(hub_ids // nb) == s]
+            own_slot[s, :len(mine)] = mine % nb
+            own_rank[s, :len(mine)] = rank[mine]
+            own_mask[s, :len(mine)] = True
+        g_rest = _Graph.from_edges(row_rel[~is_hub], col_rel[~is_hub],
+                                   n_rel, edge_weight=w_rel[~is_hub])
+        part_rest = partition_graph(g_rest, p_sh)
+        assert part_rest.block_size == nb, (part_rest.block_size, nb)
+        rsplit = halo_split_tables(part_rest)
+        tables.update(
+            hb_dense=jnp.asarray(dense_hub),
+            hb_oslot=jnp.asarray(own_slot),
+            hb_orank=jnp.asarray(own_rank),
+            hb_omask=jnp.asarray(own_mask),
+            hb_weight=jnp.asarray(part_rest.edge_weight
+                                  * part_rest.edge_mask),
+            hb_send_idx=jnp.asarray(part_rest.send_idx),
+            hb_halo_gather=jnp.asarray(part_rest.halo_gather),
+            **{"hb_" + k: jnp.asarray(v) for k, v in rsplit.items()})
+        hub_consts = dict(h=hub_h, pair=part_rest.pair_size)
 
     def _mk_tiles(tbl, pfx):
-        return dataclasses.replace(
+        t = dataclasses.replace(
             tile_tpls[pfx], edge_slot=tbl[pfx + "edge_slot"],
             slot_mask=tbl[pfx + "slot_mask"], col=tbl[pfx + "col"],
             local_row=tbl[pfx + "local_row"], tile_idx=tbl[pfx + "tile_idx"])
+        if pfx + "perm" in tbl:
+            t = dataclasses.replace(t, perm_from_row=tbl[pfx + "perm"])
+        return t
+
+    # Per-NFE transformer attention on the fused block-layout kernels
+    # (two-input form: q from owned rows, k/v gathered from the
+    # halo-extended state). Row-normalized softmax is fully row-local
+    # under owner-computes edge placement, so the single-chip hot-path
+    # kernels apply unchanged per shard; col normalization
+    # (attention_norm_idx=1) needs the cross-shard `_ext_segment_*`
+    # combines and squareplus needs the pmax'd global shift — both keep
+    # the per-edge XLA path below. (`square_plus` is shift-VARIANT: a
+    # per-shard max shift would change its values, unlike softmax.)
+    # On TPU the chain runs as the streaming Pallas kernels with the
+    # Pallas/replay custom-VJP backward; off-TPU (the CPU-mesh tests) the
+    # same tables drive `fused_attention_ax` (the XLA block layout) —
+    # pallas interpret mode cannot run under strict-vma shard_map (its
+    # grid loop index is unvarying while the prefetched tables vary).
+    fast_att = (local_tiles and cfg.function == "transformer"
+                and cfg.attention_norm_idx == 0
+                and not cfg.mix_features and not cfg.square_plus)
+    pallas_att = fast_att and jax.default_backend() == "tpu"
 
     # custom-VJP tiled SpMM over the halo-extended state: forward = the
     # overlap-split pair (x_ext[:nb] simplifies to z, so the local half
@@ -459,15 +586,66 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             halo[tbl["halo_col"]] * w_hal[:, None].astype(z.dtype),
             tbl["halo_row"], num_segments=nb)
 
+    def _win_t(tbl):
+        t_ = {k[3:]: v for k, v in tbl.items() if k.startswith("wd_")}
+        t_["send_idx"] = tbl["send_idx"]
+        t_["halo_gather"] = tbl["halo_gather"]
+        return t_
+
+    def _hub_spmm(z, tbl):
+        """Per-NFE hub-slab + reduced-halo-remainder SpMM (sharded twin
+        of graphax.kernels.hubs): assemble the replicated [H, D] hub slab
+        with one psum, dense [nbp, H] MXU matmul for hub edges, and the
+        hub-free remainder through ITS OWN (smaller) halo exchange with
+        the overlap split."""
+        d = z.shape[-1]
+        # 1) issue the remainder's halo exchange
+        send_buf = z[tbl["hb_send_idx"].reshape(-1)] \
+            .reshape(p_sh, hub_consts["pair"], d)
+        recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        # 2) collective-overlapping work: hub slab (psum) + dense matmul
+        #    + the remainder's local-col partial
+        contrib = jnp.where(tbl["hb_omask"][:, None],
+                            z[tbl["hb_oslot"]], 0)
+        slab = jnp.zeros((hub_consts["h"], d), z.dtype) \
+            .at[tbl["hb_orank"]].add(contrib)
+        slab = jax.lax.psum(slab, axis_name)
+        out = jnp.matmul(tbl["hb_dense"].astype(z.dtype), slab,
+                         preferred_element_type=jnp.float32)[:nb]
+        w_loc = jnp.where(tbl["hb_loc_mask"],
+                          tbl["hb_weight"][tbl["hb_loc_slot"]], 0.0)
+        out = out + jax.ops.segment_sum(
+            z[tbl["hb_loc_col"]] * w_loc[:, None].astype(z.dtype),
+            tbl["hb_loc_row"], num_segments=nb)
+        # 3) remainder's halo partial
+        halo = recv.reshape(p_sh * hub_consts["pair"],
+                            d)[tbl["hb_halo_gather"]]
+        w_hal = jnp.where(tbl["hb_halo_mask"],
+                          tbl["hb_weight"][tbl["hb_halo_slot"]], 0.0)
+        out = out + jax.ops.segment_sum(
+            halo[tbl["hb_halo_col"]] * w_hal[:, None].astype(z.dtype),
+            tbl["hb_halo_row"], num_segments=nb)
+        return out.astype(z.dtype)
+
     def _rhs(prep, diff, tbl, t, z):
         """diff = {'vals': pinned edge values (or a {'dense': row-slab}
-        operator from the rewire block) or None, 'x0': source term}."""
-        if isinstance(diff["vals"], dict):
+        operator from the rewire block, or a {'win': (dense, res_vals)}
+        windowed operator) or None, 'x0': source term}."""
+        if isinstance(diff["vals"], dict) and "dense" in diff["vals"]:
             # rewired dense row-slab S [Nb, Np]: one all_gather of the node
             # state per NFE, then a single MXU matmul (small/medium N)
             z_full = jax.lax.all_gather(z, axis_name, axis=0)
             z_full = z_full.reshape(p_sh * nb, z.shape[-1])
             ax = diff["vals"]["dense"].astype(z.dtype) @ z_full
+        elif isinstance(diff["vals"], dict) and "win" in diff["vals"]:
+            from graphax.dist.sharded import windowed_run_local
+
+            dense, rv = diff["vals"]["win"]
+            ax = windowed_run_local(z, dense, rv, _win_t(tbl), win_consts,
+                                    p_sh, hp, axis_name)
+        elif cfg.function == "laplacian" and hub_mode:
+            ax = _hub_spmm(z, tbl)
         elif cfg.function == "laplacian":
             vals = diff["vals"] if diff["vals"] is not None \
                 else tbl["edge_weight"]
@@ -487,15 +665,38 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                 ax = _spmm(att.mean(axis=1), x_ext, tbl)
         else:   # transformer: per-NFE attention recompute
             x_ext = _x_ext(z, tbl)
-            att, v_ext = _attention(prep["att"], z, x_ext, tbl)
-            att = att * tbl["edge_mask"][:, None]
-            if cfg.mix_features:
-                gathered = v_ext[tbl["local_col"]] * att[:, :, None]
-                vx = jax.ops.segment_sum(gathered, tbl["local_row"],
-                                         num_segments=nb).mean(axis=1)
-                ax = linear_apply(prep["att"]["Wout"], vx)
+            if fast_att:
+                # fused SDDMM→softmax→SpMM over the shard's row tiles; the
+                # x_ext cotangent rides back through `_x_ext`'s autodiff
+                # (reverse halo combine)
+                if pallas_att:
+                    from graphax.kernels.pallas_attention import (
+                        fused_attention_ax_pallas,
+                    )
+
+                    ax = fused_attention_ax_pallas(
+                        cfg, prep["att"], _mk_tiles(tbl, "rt_"), z,
+                        edge_weight=tbl["edge_weight"],
+                        tiles_t=_mk_tiles(tbl, "rtT_"), x_src=x_ext,
+                        vma_axes=(axis_name,))
+                else:
+                    from graphax.kernels.fused_attention import (
+                        fused_attention_ax,
+                    )
+
+                    ax = fused_attention_ax(
+                        cfg, prep["att"], _mk_tiles(tbl, "rt_"), z,
+                        edge_weight=tbl["edge_weight"], x_src=x_ext)
             else:
-                ax = _spmm(att.mean(axis=1), x_ext, tbl)
+                att, v_ext = _attention(prep["att"], z, x_ext, tbl)
+                att = att * tbl["edge_mask"][:, None]
+                if cfg.mix_features:
+                    gathered = v_ext[tbl["local_col"]] * att[:, :, None]
+                    vx = jax.ops.segment_sum(gathered, tbl["local_row"],
+                                             num_segments=nb).mean(axis=1)
+                    ax = linear_apply(prep["att"]["Wout"], vx)
+                else:
+                    ax = _spmm(att.mean(axis=1), x_ext, tbl)
         return apply_alpha_beta(prep, cfg, ax, z, diff["x0"])
 
     # ------------------------------------------------------------------
@@ -621,6 +822,15 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         t_end = float(cfg.time if t1 is None else t1)
         prep = prepare_scalars(params_block["func"], cfg, x0.dtype)
         vals = _pin_edge_values(params_block, x0, tbl, train, rng=rng)
+        if win_mode and not isinstance(vals, dict):
+            # densify the (pinned or static) edge values into the window
+            # operator blocks ONCE per forward — the per-NFE cost is then
+            # the block-dense matmuls, not per-edge gathers
+            from graphax.dist.sharded import windowed_prepare_local
+
+            wv = vals if vals is not None else tbl["edge_weight"]
+            vals = {"win": windowed_prepare_local(
+                wv.astype(x0.dtype), _win_t(tbl), win_consts)}
         z0 = jax.lax.stop_gradient(x0)
 
         reg_names = tuple(n for n, _ in cfg.reg_coeffs()) if train else ()
@@ -886,38 +1096,43 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                                    train=False)
         return logits[None]
 
-    # thin wrappers binding the static tables
+    # thin wrappers binding the static tables. The tables are passed as
+    # jit ARGUMENTS (the shard_map'd fns are jitted directly), never closed
+    # over: on the tunneled TPU platform baked-in jit constants run the
+    # same program ~2x slower than device-resident arguments and risk the
+    # relay's request-body cap at arxiv-scale table sizes.
     zeros_pos = jnp.zeros((p_sh, nb, max(cfg.pos_enc_dim, 1)), jnp.float32)
+    _ts_j = jax.jit(_train_step_sm)
+    _ea_j = jax.jit(_eval_accs_sm)
+    _ee_j = jax.jit(_eval_early_sm)
+    _fl_j = jax.jit(_forward_logits_sm)
 
     def train_step(params, state, opt_state, xs, ys, mask, rng, pos=None):
         pos = zeros_pos if pos is None else pos
-        return _train_step_sm(params, state, opt_state, xs, pos, ys, mask,
-                              rng, tables)
+        return _ts_j(params, state, opt_state, xs, pos, ys, mask, rng,
+                     tables)
 
     def eval_accs(params, state, xs, ys, m_tr, m_va, m_te, pos=None):
         pos = zeros_pos if pos is None else pos
-        out = _eval_accs_sm(params, state, xs, pos, ys, m_tr, m_va, m_te,
-                            tables)
-        return out
+        return _ea_j(params, state, xs, pos, ys, m_tr, m_va, m_te, tables)
 
     def eval_early(params, state, xs, ys, m_tr, m_va, m_te, pos=None):
         pos = zeros_pos if pos is None else pos
-        out = _eval_early_sm(params, state, xs, pos, ys, m_tr, m_va, m_te,
-                             tables)
+        out = _ee_j(params, state, xs, pos, ys, m_tr, m_va, m_te, tables)
         flat = jnp.ravel(out)[:5]
         return {"best_train": flat[0], "best_val": flat[1],
                 "best_test": flat[2], "best_time": flat[3], "nfe": flat[4]}
 
     def forward_logits(params, state, xs, pos=None):
         pos = zeros_pos if pos is None else pos
-        return _forward_logits_sm(params, state, xs, pos, tables)
+        return _fl_j(params, state, xs, pos, tables)
 
     return ShardedGNN(
         init=single.init,
-        train_step=jax.jit(train_step),
-        eval_accs=jax.jit(eval_accs),
-        eval_early=jax.jit(eval_early),
-        forward_logits=jax.jit(forward_logits),
+        train_step=train_step,
+        eval_accs=eval_accs,
+        eval_early=eval_early,
+        forward_logits=forward_logits,
         state_dim=state_dim)
 
 

@@ -167,6 +167,123 @@ def shard_window_tables(part: EdgePartition, window: int = 512,
                 padded_rows=nbp, num_windows=nw, ext=ext)
 
 
+def windowed_overlap_pack(part: EdgePartition, wtab):
+    """Host: static per-shard tables for the overlap-split windowed per-NFE
+    compute (halo-independent tiles/residual vs halo-dependent), stacked
+    ``[P, ...]``. Shared by :func:`sharded_spmm_windowed` and the
+    production model's windowed local compute (graphax.dist.model)."""
+    import numpy as np
+
+    p, nb = part.num_shards, part.block_size
+    window = wtab["window"]
+    tw_np = wtab["tile_win"]                       # [P, T]
+    is_loc_tile = (tw_np + 1) * window <= nb       # window ⊂ owned block
+    lt_max = max(int(m.sum()) for m in is_loc_tile)
+    ht_max = max(int((~m).sum()) for m in is_loc_tile)
+    lt_idx = np.zeros((p, max(lt_max, 1)), np.int32)
+    lt_mask = np.zeros((p, max(lt_max, 1)), bool)
+    ht_idx = np.zeros((p, max(ht_max, 1)), np.int32)
+    ht_mask = np.zeros((p, max(ht_max, 1)), bool)
+    for s in range(p):
+        li = np.where(is_loc_tile[s])[0]
+        hi = np.where(~is_loc_tile[s])[0]
+        lt_idx[s, :len(li)] = li
+        lt_mask[s, :len(li)] = True
+        ht_idx[s, :len(hi)] = hi
+        ht_mask[s, :len(hi)] = True
+    rc_np, rm_np = wtab["res_col"], wtab["res_mask"]
+    res_is_loc = rm_np & (rc_np < nb)
+    res_is_hal = rm_np & (rc_np >= nb)
+    rl_max = max(max(int(m.sum()) for m in res_is_loc), 1)
+    rh_max = max(max(int(m.sum()) for m in res_is_hal), 1)
+
+    def pack_res(which, cap, off):
+        sl = np.zeros((p, cap), np.int32)
+        mk = np.zeros((p, cap), bool)
+        rr_ = np.zeros((p, cap), np.int32)
+        cc = np.zeros((p, cap), np.int32)
+        for s in range(p):
+            ix = np.where(which[s])[0]
+            sl[s, :len(ix)] = ix
+            mk[s, :len(ix)] = True
+            rr_[s, :len(ix)] = wtab["res_row"][s][ix]
+            cc[s, :len(ix)] = rc_np[s][ix] - off
+        return sl, mk, rr_, cc
+
+    rl_slot, rl_mask, rl_row, rl_col = pack_res(res_is_loc, rl_max, 0)
+    rh_slot, rh_mask, rh_row, rh_col = pack_res(res_is_hal, rh_max, nb)
+    return dict(
+        lt_idx=lt_idx, lt_mask=lt_mask, ht_idx=ht_idx, ht_mask=ht_mask,
+        rl_slot=rl_slot, rl_mask=rl_mask, rl_row=rl_row, rl_col=rl_col,
+        rh_slot=rh_slot, rh_mask=rh_mask, rh_row=rh_row, rh_col=rh_col,
+        tile_win=tw_np, flat_idx=wtab["flat_idx"], in_win=wtab["in_win"],
+        res_slot=wtab["res_slot"], res_mask=wtab["res_mask"])
+
+
+def windowed_prepare_local(wv, t_, consts):
+    """Per-shard (INSIDE shard_map): densify in-window edge values into the
+    ``[T, tile, W]`` MXU operator blocks + residual values — once per
+    forward / pinned value set, not per NFE. Differentiable (the scatter's
+    transpose is a gather)."""
+    t, tile, window = consts["t"], consts["tile"], consts["window"]
+    nbp = t * tile
+    dense = jnp.zeros((nbp * window,), wv.dtype) \
+        .at[t_["flat_idx"]].add(jnp.where(t_["in_win"], wv, 0)) \
+        .reshape(t, tile, window)
+    res_vals = jnp.where(t_["res_mask"], wv[t_["res_slot"]], 0)
+    return dense, res_vals
+
+
+def windowed_run_local(x, dense, rv, t_, consts, num_shards, pair_size,
+                       axis_name):
+    """Per-shard (INSIDE shard_map) windowed per-NFE ``A @ x`` with the
+    halo all_to_all overlapped by the halo-independent MXU work (local
+    windows + local-col residual edges)."""
+    nb, nw, nwl, ext = (consts["nb"], consts["nw"], consts["nwl"],
+                        consts["ext"])
+    t, tile, window = consts["t"], consts["tile"], consts["window"]
+    nbp = t * tile
+    d = x.shape[-1]
+    # 1) issue the exchange
+    send_buf = x[t_["send_idx"].reshape(-1)] \
+        .reshape(num_shards, pair_size, d)
+    recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
+                              concat_axis=0, tiled=False)
+    # 2) halo-independent MXU work (overlaps the collective):
+    #    local-window tiles against the owned-block slab
+    slab_loc = jnp.pad(x, ((0, nwl * window - nb), (0, 0))) \
+        .reshape(nwl, window, d)
+    tw_l = jnp.clip(t_["tile_win"][t_["lt_idx"]], 0, nwl - 1)
+    dn_l = dense[t_["lt_idx"]] * t_["lt_mask"][:, None, None]
+    out_t = jnp.zeros((t, tile, d), jnp.float32)
+    out_t = out_t.at[t_["lt_idx"]].add(
+        jnp.einsum("trw,twd->trd", dn_l,
+                   jnp.take(slab_loc, tw_l, axis=0),
+                   preferred_element_type=jnp.float32))
+    #    + local-col residual edges
+    w_rl = jnp.where(t_["rl_mask"], rv[t_["rl_slot"]], 0.0)
+    outr = jax.ops.segment_sum(
+        x[t_["rl_col"]] * w_rl[:, None].astype(x.dtype), t_["rl_row"],
+        num_segments=nb)
+    # 3) halo-dependent work
+    halo = recv.reshape(num_shards * pair_size, d)[t_["halo_gather"]]
+    x_ext = jnp.concatenate([x, halo], axis=0)
+    slab_ext = jnp.pad(x_ext, ((0, nw * window - ext), (0, 0))) \
+        .reshape(nw, window, d)
+    tw_h = t_["tile_win"][t_["ht_idx"]]
+    dn_h = dense[t_["ht_idx"]] * t_["ht_mask"][:, None, None]
+    out_t = out_t.at[t_["ht_idx"]].add(
+        jnp.einsum("trw,twd->trd", dn_h,
+                   jnp.take(slab_ext, tw_h, axis=0),
+                   preferred_element_type=jnp.float32))
+    w_rh = jnp.where(t_["rh_mask"], rv[t_["rh_slot"]], 0.0)
+    outr = outr + jax.ops.segment_sum(
+        halo[t_["rh_col"]] * w_rh[:, None].astype(x.dtype), t_["rh_row"],
+        num_segments=nb)
+    out = out_t.reshape(nbp, d)[:nb] + outr
+    return out.astype(x.dtype)
+
+
 def sharded_spmm_windowed(mesh: Mesh, part: EdgePartition,
                           window: int = 512, tile: int = 128,
                           axis_name: str = "graph", overlap: bool = True):
@@ -213,11 +330,9 @@ def sharded_spmm_windowed(mesh: Mesh, part: EdgePartition,
         out_specs=(gspec, gspec))
     def prepare_sm(w, tbl):
         fi, iw, rs, rm = tuple(a[0] for a in tbl)
-        wv = w[0]
-        dense = jnp.zeros((nbp * window,), wv.dtype) \
-            .at[fi].add(jnp.where(iw, wv, 0)) \
-            .reshape(t, tile, window)
-        res_vals = jnp.where(rm, wv[rs], 0)
+        dense, res_vals = windowed_prepare_local(
+            w[0], dict(flat_idx=fi, in_win=iw, res_slot=rs, res_mask=rm),
+            dict(t=t, tile=tile, window=window))
         return dense[None], res_vals[None]
 
     def prepare(weights=None):
@@ -226,45 +341,15 @@ def sharded_spmm_windowed(mesh: Mesh, part: EdgePartition,
 
     # ---- host: split tiles & residual edges into halo-independent vs
     # halo-dependent groups (static, per shard, padded to max) -------------
-    tw_np = wtab["tile_win"]                       # [P, T]
-    is_loc_tile = (tw_np + 1) * window <= nb       # window ⊂ owned block
     nwl = (nb + window - 1) // window              # local slab windows
-    lt_max = max(int(m.sum()) for m in is_loc_tile)
-    ht_max = max(int((~m).sum()) for m in is_loc_tile)
-    lt_idx = np.zeros((p, max(lt_max, 1)), np.int32)
-    lt_mask = np.zeros((p, max(lt_max, 1)), bool)
-    ht_idx = np.zeros((p, max(ht_max, 1)), np.int32)
-    ht_mask = np.zeros((p, max(ht_max, 1)), bool)
-    for s in range(p):
-        li = np.where(is_loc_tile[s])[0]
-        hi = np.where(~is_loc_tile[s])[0]
-        lt_idx[s, :len(li)] = li; lt_mask[s, :len(li)] = True
-        ht_idx[s, :len(hi)] = hi; ht_mask[s, :len(hi)] = True
-    rc_np, rm_np = wtab["res_col"], wtab["res_mask"]
-    res_is_loc = rm_np & (rc_np < nb)
-    res_is_hal = rm_np & (rc_np >= nb)
-    rl_max = max(max(int(m.sum()) for m in res_is_loc), 1)
-    rh_max = max(max(int(m.sum()) for m in res_is_hal), 1)
-
-    def pack_res(which, cap, off):
-        sl = np.zeros((p, cap), np.int32); mk = np.zeros((p, cap), bool)
-        rr_ = np.zeros((p, cap), np.int32); cc = np.zeros((p, cap), np.int32)
-        for s in range(p):
-            ix = np.where(which[s])[0]
-            sl[s, :len(ix)] = ix; mk[s, :len(ix)] = True
-            rr_[s, :len(ix)] = wtab["res_row"][s][ix]
-            cc[s, :len(ix)] = rc_np[s][ix] - off
-        return sl, mk, rr_, cc
-
-    rl_slot, rl_mask, rl_row, rl_col = pack_res(res_is_loc, rl_max, 0)
-    rh_slot, rh_mask, rh_row, rh_col = pack_res(res_is_hal, rh_max, nb)
+    pack = windowed_overlap_pack(part, wtab)
     ov_tabs = {k: jnp.asarray(v) for k, v in dict(
-        lt_idx=lt_idx, lt_mask=lt_mask, ht_idx=ht_idx, ht_mask=ht_mask,
-        rl_slot=rl_slot, rl_mask=rl_mask, rl_row=rl_row, rl_col=rl_col,
-        rh_slot=rh_slot, rh_mask=rh_mask, rh_row=rh_row, rh_col=rh_col,
-        tile_win=tw_np, send_idx=part.send_idx,
-        halo_gather=part.halo_gather).items()}
+        **{k: v for k, v in pack.items()
+           if k not in ("flat_idx", "in_win", "res_slot", "res_mask")},
+        send_idx=part.send_idx, halo_gather=part.halo_gather).items()}
     ov_keys = tuple(sorted(ov_tabs))
+    consts = dict(nb=nb, nw=nw, nwl=nwl, ext=ext, t=t, tile=tile,
+                  window=window)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -293,48 +378,9 @@ def sharded_spmm_windowed(mesh: Mesh, part: EdgePartition,
         out_specs=gspec)
     def run_overlap(xs, dense, res_vals, tbl):
         t_ = {k: v[0] for k, v in tbl.items()}
-        x = xs[0]
-        d = x.shape[-1]
-        dn = dense[0]
-        rv = res_vals[0]
-        # 1) issue the exchange
-        send_buf = x[t_["send_idx"].reshape(-1)] \
-            .reshape(part.num_shards, part.pair_size, d)
-        recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
-                                  concat_axis=0, tiled=False)
-        # 2) halo-independent MXU work (overlaps the collective):
-        #    local-window tiles against the owned-block slab
-        slab_loc = jnp.pad(x, ((0, nwl * window - nb), (0, 0))) \
-            .reshape(nwl, window, d)
-        tw_l = jnp.clip(t_["tile_win"][t_["lt_idx"]], 0, nwl - 1)
-        dn_l = dn[t_["lt_idx"]] * t_["lt_mask"][:, None, None]
-        out_t = jnp.zeros((t, tile, d), jnp.float32)
-        out_t = out_t.at[t_["lt_idx"]].add(
-            jnp.einsum("trw,twd->trd", dn_l, jnp.take(slab_loc, tw_l,
-                                                      axis=0),
-                       preferred_element_type=jnp.float32))
-        #    + local-col residual edges
-        w_rl = jnp.where(t_["rl_mask"], rv[t_["rl_slot"]], 0.0)
-        outr = jax.ops.segment_sum(x[t_["rl_col"]] * w_rl[:, None],
-                                   t_["rl_row"], num_segments=nb)
-        # 3) halo-dependent work
-        halo = recv.reshape(part.num_shards * part.pair_size,
-                            d)[t_["halo_gather"]]
-        x_ext = jnp.concatenate([x, halo], axis=0)
-        slab_ext = jnp.pad(x_ext, ((0, nw * window - ext), (0, 0))) \
-            .reshape(nw, window, d)
-        tw_h = t_["tile_win"][t_["ht_idx"]]
-        dn_h = dn[t_["ht_idx"]] * t_["ht_mask"][:, None, None]
-        out_t = out_t.at[t_["ht_idx"]].add(
-            jnp.einsum("trw,twd->trd", dn_h, jnp.take(slab_ext, tw_h,
-                                                      axis=0),
-                       preferred_element_type=jnp.float32))
-        w_rh = jnp.where(t_["rh_mask"], rv[t_["rh_slot"]], 0.0)
-        outr = outr + jax.ops.segment_sum(
-            halo[t_["rh_col"]] * w_rh[:, None], t_["rh_row"],
-            num_segments=nb)
-        out = out_t.reshape(nbp, d)[:nb] + outr
-        return out.astype(x.dtype)[None]
+        out = windowed_run_local(xs[0], dense[0], res_vals[0], t_, consts,
+                                 part.num_shards, part.pair_size, axis_name)
+        return out[None]
 
     def f(xs, state):
         dense, res_vals = state

@@ -113,14 +113,19 @@ def _beltrami_scores(cfg, p, tiles, oh, x, xg):
 
 
 def fused_attention_ax(cfg, att_params, tiles: RowTiles, x, edge_weight=None,
-                       tiles_t: RowTiles = None):
+                       tiles_t: RowTiles = None, x_src=None):
     """``ax = mean_heads(softmax(scores)) @ x`` fully fused in block
     layout. ``att_params`` is the transformer attention param dict (Q/K/...).
     ``attention_norm_idx=1`` (col-normalized, the Cora/Citeseer/CoauthorCS
     tuned configs — `src/best_params.py:1-2,4`) needs ``tiles_t``: the
     denominators reduce on the transpose layout (gather via
     ``perm_from_row``, never an E-sized scatter) and broadcast back with a
-    col gather. Returns ``[N, D]`` in x.dtype."""
+    col gather. Returns ``[N, D]`` in x.dtype.
+
+    ``x_src`` (two-input form, sharded per-NFE path): a SEPARATE gather
+    source for the keys/values — ``tiles.col`` then indexes ``x_src``
+    (e.g. the halo-extended local state inside ``shard_map``) while q comes
+    from ``x`` (the owned rows). Default: ``x`` itself."""
     from graphax.utils.params import linear_apply
 
     heads = cfg.heads
@@ -131,7 +136,7 @@ def fused_attention_ax(cfg, att_params, tiles: RowTiles, x, edge_weight=None,
     oh = _onehot(tiles, dt)                             # [B, Eb, R]
     # ONE gather of the state serves both the attention keys and the value
     # SpMM: k[col] = x[col] @ K  computed per block on the MXU
-    xg = x[tiles.col]                                   # [B, Eb, D]
+    xg = (x if x_src is None else x_src)[tiles.col]     # [B, Eb, D]
 
     if beltrami:
         scores = _beltrami_scores(cfg, att_params, tiles, oh, x, xg)

@@ -57,6 +57,15 @@ EPS = 1e-16
 COS_EPS = 1e-5
 
 
+def _sds(shape, dtype, vma=None):
+    """ShapeDtypeStruct carrying the shard_map varying-axes set when the
+    kernels run inside `shard_map` (strict vma checking requires pallas
+    out_shapes to state how outputs vary over mesh axes)."""
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 # ----------------------------------------------------------------------
 # Shared per-block score math (K1 / flash / gmax kernels)
 # ----------------------------------------------------------------------
@@ -149,7 +158,7 @@ def _make_scores_kernel(att_type: str, reweight: bool, heads: int):
 
 
 def _scores_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
-                 local_row, tile_idx, scal, num_tiles, tile):
+                 local_row, tile_idx, scal, num_tiles, tile, vma=None):
     b, eb, d = xg.shape
     a = q_tiles.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -173,8 +182,8 @@ def _scores_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
         _make_scores_kernel(att_type, reweight, heads),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, heads, eb), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, heads, tile), jnp.float32),
+            _sds((b, heads, eb), jnp.float32, vma=vma),
+            _sds((num_tiles, heads, tile), jnp.float32, vma=vma),
         ],
         interpret=_interpret(),
     )(tile_idx, first_flags(tile_idx), q_tiles, xg, wk, bk,
@@ -224,7 +233,7 @@ def _make_norm_kernel(square_plus: bool):
 
 
 def _norm_call(square_plus, scores, shift, local_row, tile_idx,
-               num_tiles, tile):
+               num_tiles, tile, vma=None):
     b, heads, eb = scores.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -243,8 +252,8 @@ def _norm_call(square_plus, scores, shift, local_row, tile_idx,
         _make_norm_kernel(square_plus),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, heads, eb), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, heads, tile), jnp.float32),
+            _sds((b, heads, eb), jnp.float32, vma=vma),
+            _sds((num_tiles, heads, tile), jnp.float32, vma=vma),
         ],
         interpret=_interpret(),
     )(tile_idx, first_flags(tile_idx), scores, shift, local_row[:, None])
@@ -297,7 +306,7 @@ def _make_attspmm_kernel(per_edge_denom: bool):
 
 
 def _attspmm_call(e, denom, xg, local_row, tile_idx, num_tiles, tile,
-                  per_edge_denom: bool = False):
+                  per_edge_denom: bool = False, vma=None):
     b, eb, d = xg.shape
     heads = e.shape[1]
     if per_edge_denom:
@@ -319,7 +328,7 @@ def _attspmm_call(e, denom, xg, local_row, tile_idx, num_tiles, tile,
     return pl.pallas_call(
         _make_attspmm_kernel(per_edge_denom),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, tile, d), jnp.float32),
+        out_shape=_sds((num_tiles, tile, d), jnp.float32, vma=vma),
         interpret=_interpret(),
     )(tile_idx, first_flags(tile_idx), e, denom, xg, local_row[:, None])
 
@@ -438,7 +447,7 @@ def _make_flash_kernel(att_type: str, reweight: bool, heads: int,
 
 def _flash_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
                 local_row, tile_idx, scal, num_tiles, tile,
-                square_plus=False):
+                square_plus=False, vma=None):
     b, eb, d = xg.shape
     a = q_tiles.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -463,7 +472,7 @@ def _flash_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
     return pl.pallas_call(
         _make_flash_kernel(att_type, reweight, heads, square_plus),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, tile, d), jnp.float32),
+        out_shape=_sds((num_tiles, tile, d), jnp.float32, vma=vma),
         interpret=_interpret(),
     )(tile_idx, first_flags(tile_idx), last_flags(tile_idx), q_tiles, xg,
       wk, bk, wb[:, None], local_row[:, None], scal)
@@ -498,7 +507,7 @@ def _make_gmax_kernel(att_type: str, reweight: bool, heads: int):
 
 
 def _gmax_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
-               local_row, tile_idx, scal, num_tiles, tile):
+               local_row, tile_idx, scal, num_tiles, tile, vma=None):
     b, eb, d = xg.shape
     a = q_tiles.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -518,7 +527,7 @@ def _gmax_call(att_type, reweight, heads, q_tiles, xg, wk, bk, wb,
     bmax = pl.pallas_call(
         _make_gmax_kernel(att_type, reweight, heads),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1, heads), jnp.float32),
+        out_shape=_sds((b, 1, heads), jnp.float32, vma=vma),
         interpret=_interpret(),
     )(tile_idx, q_tiles, xg, wk, bk, wb[:, None], local_row[:, None], scal)
     gmax = jnp.max(bmax)
@@ -612,7 +621,7 @@ def _bwd1_kernel(tidx_ref, first_ref, s_ref, shift_ref, denom_ref, g_ref,
 
 
 def _bwd1_call(scores, shift, denom, g_tiles, xg, local_row, tile_idx,
-               num_tiles, tile):
+               num_tiles, tile, vma=None):
     b, heads, eb = scores.shape
     d = xg.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -637,10 +646,10 @@ def _bwd1_call(scores, shift, denom, g_tiles, xg, local_row, tile_idx,
         _bwd1_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, eb), jnp.float32),
-            jax.ShapeDtypeStruct((b, heads, eb), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, eb), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, heads, tile), jnp.float32),
+            _sds((b, 1, eb), jnp.float32, vma=vma),
+            _sds((b, heads, eb), jnp.float32, vma=vma),
+            _sds((b, 1, eb), jnp.float32, vma=vma),
+            _sds((num_tiles, heads, tile), jnp.float32, vma=vma),
         ],
         interpret=_interpret(),
     )(tile_idx, first_flags(tile_idx), scores, shift, denom, g_tiles, xg,
@@ -688,7 +697,7 @@ def _make_bwd2_kernel(heads: int):
 
 
 def _bwd2_call(heads, ah, da, rho, xg, wk, bk, local_row, tile_idx,
-               num_tiles, tile):
+               num_tiles, tile, vma=None):
     b, _, eb = ah.shape
     d = xg.shape[-1]
     a = wk.shape[-1]
@@ -709,7 +718,7 @@ def _bwd2_call(heads, ah, da, rho, xg, wk, bk, local_row, tile_idx,
     return pl.pallas_call(
         _make_bwd2_kernel(heads),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, tile, a), jnp.float32),
+        out_shape=_sds((num_tiles, tile, a), jnp.float32, vma=vma),
         interpret=_interpret(),
     )(tile_idx, first_flags(tile_idx), ah, da, rho, xg, wk, bk,
       local_row[:, None])
@@ -783,7 +792,7 @@ def _make_bwd3_kernel(heads: int):
 
 
 def _bwd3_call(heads, qg, gg, k_tiles, x_tiles, se, de, re, local_row,
-               tile_idx, num_tiles, tile):
+               tile_idx, num_tiles, tile, vma=None):
     b, eb, a = qg.shape
     d = gg.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -808,8 +817,8 @@ def _bwd3_call(heads, qg, gg, k_tiles, x_tiles, se, de, re, local_row,
         _make_bwd3_kernel(heads),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, tile, a), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, tile, d), jnp.float32),
+            _sds((num_tiles, tile, a), jnp.float32, vma=vma),
+            _sds((num_tiles, tile, d), jnp.float32, vma=vma),
         ],
         interpret=_interpret(),
     )(tile_idx, first_flags(tile_idx), qg, gg, k_tiles, x_tiles, se, de, re,
@@ -851,12 +860,20 @@ def _f0(a):
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
-                pallas_bwd=False):
+                pallas_bwd=False, num_src=None, vma_axes=None):
     """``t_shape = (num_tiles_t, tile_t)`` describes the transpose layout —
     needed by the Pallas backward (``pallas_bwd=True``) and by the
     col-normalized forward (``attention_norm_idx=1``, whose denominators
     reduce on the transpose layout). Without it: row-normalized forward with
-    the XLA-replay backward."""
+    the XLA-replay backward.
+
+    All entry points take TWO state arrays ``(x, x_src)``: ``x`` feeds the
+    q projection on owned rows, ``x_src`` the gathered keys/values (and the
+    transpose layout covers ``num_src`` source rows). Single-chip callers
+    pass the same array twice (JAX sums the two cotangents back into one);
+    the sharded per-NFE path (graphax.dist.model) passes the halo-extended
+    local state as ``x_src``, giving it the same streaming kernels with a
+    separate ``dx_ext`` cotangent routed back through the halo exchange."""
     from graphax.kernels.fused_attention import fused_attention_ax
     from graphax.kernels.pallas_tiled import _spmm_call
     from graphax.kernels.tiles import RowTiles
@@ -866,6 +883,20 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
     beltrami = cfg.beltrami and cfg.attention_type == "exp_kernel"
     att_type_eff = "beltrami_exp" if beltrami else cfg.attention_type
     norm1 = cfg.attention_norm_idx != 0
+    if num_src is None:
+        num_src = num_nodes
+    vma = vma_axes
+
+    def _pv(a):
+        # inside shard_map every pallas operand must carry the same
+        # varying-axes set; params/constants enter replicated (unvarying)
+        # in eval-mode shard_maps, so cast them (no-op otherwise)
+        if not vma:
+            return a
+        from graphax.dist.mesh import ensure_varying
+        for ax in vma:
+            a = ensure_varying(a, ax)
+        return a
     if norm1 or pallas_bwd:
         num_tiles_t, tile_t = t_shape
 
@@ -875,7 +906,7 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
             s = s.at[0, i].set(v)
         return s
 
-    def _prep(att_params, x, edge_weight, t_slot, t_mask, t_col):
+    def _prep(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col):
         if beltrami:
             # combined-weight trick: kx = feat@Kx and kp = pos@Kp are both
             # linear in the full state, so one [D, 2A] weight serves both
@@ -887,7 +918,7 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
                                  linear_apply(att_params["Qp"], posx)],
                                 axis=-1)
             q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
-            xg = x[t_col]
+            xg = x_src[t_col]
             awx = att_params["Kx"]["w"].astype(x.dtype)
             awp = att_params["Kp"]["w"].astype(x.dtype)
             a_att = awx.shape[1]
@@ -910,7 +941,7 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
                 q = q / jnp.sqrt(jnp.asarray(cfg.attention_dim // heads,
                                              jnp.float32)).astype(q.dtype)
             q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
-            xg = x[t_col]
+            xg = x_src[t_col]
             wk = att_params["K"]["w"].astype(x.dtype)
             bk = att_params["K"]["b"].astype(jnp.float32)[None, :]
             if cfg.attention_type == "exp_kernel":
@@ -928,12 +959,15 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
                 .astype(jnp.float32)
         else:
             wb = jnp.zeros(t_slot.shape, jnp.float32)
-        return q_tiles, xg, wk, bk, wb, scal
+        return (_pv(q_tiles), _pv(xg), _pv(wk), _pv(bk), _pv(wb),
+                _pv(scal))
 
-    def _forward(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-                 t_tidx, tt=None, allow_flash=True, want_residuals=False):
-        q_tiles, xg, wk, bk, wb, scal = _prep(att_params, x, edge_weight,
-                                              t_slot, t_mask, t_col)
+    def _forward(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+                 t_lrow, t_tidx, tt=None, allow_flash=True,
+                 want_residuals=False):
+        q_tiles, xg, wk, bk, wb, scal = _prep(att_params, x, x_src,
+                                              edge_weight, t_slot, t_mask,
+                                              t_col)
         present = presence_scale(t_tidx, num_tiles) > 0
         residuals = None
         use_flash = (allow_flash and not want_residuals and not norm1
@@ -945,17 +979,17 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
                 gshift = _gmax_call(
                     att_type_eff, bool(cfg.reweight_attention), heads,
                     q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal,
-                    num_tiles, tile)
+                    num_tiles, tile, vma=vma)
                 scal = scal.at[0, 4].set(gshift)
             out = _flash_call(
                 att_type_eff, bool(cfg.reweight_attention), heads,
                 q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal, num_tiles,
-                tile, square_plus=bool(cfg.square_plus))
+                tile, square_plus=bool(cfg.square_plus), vma=vma)
         else:
             scores, rmax = _scores_call(
                 att_type_eff, bool(cfg.reweight_attention), heads,
                 q_tiles, xg, wk, bk, wb, t_lrow, t_tidx, scal, num_tiles,
-                tile)
+                tile, vma=vma)
             rmax = jnp.where(present[:, None, None], rmax, NEG)
             if cfg.square_plus or norm1:
                 # norm1 softmax also needs a shift constant across each col
@@ -967,7 +1001,7 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
                 shift = jnp.where(rmax <= NEG / 2, 0.0, rmax)
 
             e, denom = _norm_call(bool(cfg.square_plus), scores, shift,
-                                  t_lrow, t_tidx, num_tiles, tile)
+                                  t_lrow, t_tidx, num_tiles, tile, vma=vma)
             if norm1:
                 # col denominators: move e onto the transpose layout with
                 # the static slot permutation (gather, never a scatter),
@@ -983,20 +1017,21 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
                 dn = jax.ops.segment_sum(part, tt_tidx,
                                          num_segments=num_tiles_t,
                                          indices_are_sorted=True)
-                denom_n = dn.reshape(num_tiles_t * tile_t, h_r)[:num_nodes]
+                denom_n = dn.reshape(num_tiles_t * tile_t, h_r)[:num_src]
                 denom_e = jnp.moveaxis(denom_n[t_col], 2, 1)  # [B, H, Eb]
                 out = _attspmm_call(e, denom_e, xg, t_lrow, t_tidx,
-                                    num_tiles, tile, per_edge_denom=True)
+                                    num_tiles, tile, per_edge_denom=True,
+                                    vma=vma)
             else:
                 out = _attspmm_call(e, denom, xg, t_lrow, t_tidx, num_tiles,
-                                    tile)
+                                    tile, vma=vma)
                 residuals = (scores, shift, denom)
         out = jnp.where(present[:, None, None], out, 0.0)
         out = out.reshape(num_tiles * tile, -1)[:num_nodes].astype(x.dtype)
         return out, residuals
 
-    def _xla_replay(att_params, x, edge_weight, t_slot, t_mask, t_col,
-                    t_lrow, t_tidx, tt=None):
+    def _xla_replay(att_params, x, x_src, edge_weight, t_slot, t_mask,
+                    t_col, t_lrow, t_tidx, tt=None):
         tiles = RowTiles(edge_slot=t_slot, slot_mask=t_mask, col=t_col,
                          local_row=t_lrow, tile_idx=t_tidx,
                          num_tiles=num_tiles, tile=tile,
@@ -1008,37 +1043,37 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
                 edge_slot=jnp.zeros_like(tt_col), slot_mask=tt_mask,
                 col=tt_col, local_row=tt_lrow, tile_idx=tt_tidx,
                 num_tiles=num_tiles_t, tile=tile_t, block_edges=block_edges,
-                num_nodes=num_nodes, perm_from_row=perm)
+                num_nodes=num_src, perm_from_row=perm)
         return fused_attention_ax(cfg, att_params, tiles, x,
                                   edge_weight=edge_weight,
-                                  tiles_t=tiles_t_obj)
+                                  tiles_t=tiles_t_obj, x_src=x_src)
 
     if norm1:
         @jax.custom_vjp
-        def f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-              t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm):
-            return _forward(att_params, x, edge_weight, t_slot, t_mask,
-                            t_col, t_lrow, t_tidx,
+        def f(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+              t_lrow, t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm):
+            return _forward(att_params, x, x_src, edge_weight, t_slot,
+                            t_mask, t_col, t_lrow, t_tidx,
                             tt=(tt_mask, tt_col, tt_lrow, tt_tidx, perm))[0]
 
-        def fwd(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-                t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm):
-            y = f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-                  t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm)
-            return y, (att_params, x, edge_weight, t_slot, t_mask, t_col,
-                       t_lrow, t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx,
-                       perm)
+        def fwd(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+                t_lrow, t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm):
+            y = f(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+                  t_lrow, t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm)
+            return y, (att_params, x, x_src, edge_weight, t_slot, t_mask,
+                       t_col, t_lrow, t_tidx, tt_mask, tt_col, tt_lrow,
+                       tt_tidx, perm)
 
         def bwd(res, g):
-            (att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-             t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm) = res
+            (att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+             t_lrow, t_tidx, tt_mask, tt_col, tt_lrow, tt_tidx, perm) = res
             _, vjp = jax.vjp(
-                lambda p, xx, ew: _xla_replay(
-                    p, xx, ew, t_slot, t_mask, t_col, t_lrow, t_tidx,
+                lambda p, xx, xs, ew: _xla_replay(
+                    p, xx, xs, ew, t_slot, t_mask, t_col, t_lrow, t_tidx,
                     tt=(tt_mask, tt_col, tt_lrow, tt_tidx, perm)),
-                att_params, x, edge_weight)
-            dp, dx, dew = vjp(g.astype(x.dtype))
-            return (dp, dx, dew, _f0(t_slot), _f0(t_mask), _f0(t_col),
+                att_params, x, x_src, edge_weight)
+            dp, dx, dxs, dew = vjp(g.astype(x.dtype))
+            return (dp, dx, dxs, dew, _f0(t_slot), _f0(t_mask), _f0(t_col),
                     _f0(t_lrow), _f0(t_tidx), _f0(tt_mask), _f0(tt_col),
                     _f0(tt_lrow), _f0(tt_tidx), _f0(perm))
 
@@ -1047,27 +1082,28 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
 
     if not pallas_bwd:
         @jax.custom_vjp
-        def f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-              t_tidx):
-            return _forward(att_params, x, edge_weight, t_slot, t_mask,
-                            t_col, t_lrow, t_tidx)[0]
+        def f(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+              t_lrow, t_tidx):
+            return _forward(att_params, x, x_src, edge_weight, t_slot,
+                            t_mask, t_col, t_lrow, t_tidx)[0]
 
-        def fwd(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-                t_tidx):
-            y = f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-                  t_tidx)
-            return y, (att_params, x, edge_weight, t_slot, t_mask, t_col,
-                       t_lrow, t_tidx)
+        def fwd(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+                t_lrow, t_tidx):
+            y = f(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+                  t_lrow, t_tidx)
+            return y, (att_params, x, x_src, edge_weight, t_slot, t_mask,
+                       t_col, t_lrow, t_tidx)
 
         def bwd(res, g):
-            att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow, \
-                t_tidx = res
+            att_params, x, x_src, edge_weight, t_slot, t_mask, t_col, \
+                t_lrow, t_tidx = res
             _, vjp = jax.vjp(
-                lambda p, xx, ew: _xla_replay(p, xx, ew, t_slot, t_mask,
-                                              t_col, t_lrow, t_tidx),
-                att_params, x, edge_weight)
-            dp, dx, dew = vjp(g.astype(x.dtype))
-            return (dp, dx, dew, _f0(t_slot), _f0(t_mask), _f0(t_col),
+                lambda p, xx, xs, ew: _xla_replay(p, xx, xs, ew, t_slot,
+                                                  t_mask, t_col, t_lrow,
+                                                  t_tidx),
+                att_params, x, x_src, edge_weight)
+            dp, dx, dxs, dew = vjp(g.astype(x.dtype))
+            return (dp, dx, dxs, dew, _f0(t_slot), _f0(t_mask), _f0(t_col),
                     _f0(t_lrow), _f0(t_tidx))
 
         f.defvjp(fwd, bwd)
@@ -1081,32 +1117,33 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
             num_tiles * tile, heads)
 
     @jax.custom_vjp
-    def f(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow, t_tidx,
-          tt_col, tt_lrow, tt_tidx):
-        return _forward(att_params, x, edge_weight, t_slot, t_mask, t_col,
-                        t_lrow, t_tidx)[0]
+    def f(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col, t_lrow,
+          t_tidx, tt_col, tt_lrow, tt_tidx):
+        return _forward(att_params, x, x_src, edge_weight, t_slot, t_mask,
+                        t_col, t_lrow, t_tidx)[0]
 
-    def fwd(att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-            t_tidx, tt_col, tt_lrow, tt_tidx):
+    def fwd(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+            t_lrow, t_tidx, tt_col, tt_lrow, tt_tidx):
         # the 3-kernel forward (not flash) so the softmax residuals exist
         y, (scores, shift, denom) = _forward(
-            att_params, x, edge_weight, t_slot, t_mask, t_col, t_lrow,
-            t_tidx, allow_flash=False, want_residuals=True)
-        return y, (att_params, x, edge_weight, scores, shift, denom, t_col,
-                   t_lrow, t_tidx, tt_col, tt_lrow, tt_tidx)
+            att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
+            t_lrow, t_tidx, allow_flash=False, want_residuals=True)
+        return y, (att_params, x, x_src, edge_weight, scores, shift, denom,
+                   t_col, t_lrow, t_tidx, tt_col, tt_lrow, tt_tidx)
 
     def bwd(res, g):
-        (att_params, x, edge_weight, scores, shift, denom, t_col, t_lrow,
-         t_tidx, tt_col, tt_lrow, tt_tidx) = res
-        xg = x[t_col]
+        (att_params, x, x_src, edge_weight, scores, shift, denom, t_col,
+         t_lrow, t_tidx, tt_col, tt_lrow, tt_tidx) = res
+        xg = x_src[t_col]
         g_tiles = _tile_rows(g.astype(jnp.float32), num_tiles, tile)
         amean, ah, da, rho = _bwd1_call(scores, shift, denom, g_tiles, xg,
-                                        t_lrow, t_tidx, num_tiles, tile)
+                                        t_lrow, t_tidx, num_tiles, tile,
+                                        vma=vma)
         q = linear_apply(att_params["Q"], x) * scale_c   # q̃ (pre-scaled)
-        wk = att_params["K"]["w"].astype(x.dtype)
-        bk = att_params["K"]["b"].astype(jnp.float32)[None, :]
+        wk = _pv(att_params["K"]["w"].astype(x.dtype))
+        bk = _pv(att_params["K"]["b"].astype(jnp.float32)[None, :])
         dq_acc = _bwd2_call(heads, ah, da, rho, xg, wk, bk, t_lrow, t_tidx,
-                            num_tiles, tile)
+                            num_tiles, tile, vma=vma)
         present = presence_scale(t_tidx, num_tiles) > 0
         dq_acc = jnp.where(present[:, None, None], dq_acc, 0.0)
         dq = dq_acc.reshape(num_tiles * tile, -1)[:num_nodes] * scale_c
@@ -1115,11 +1152,11 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
         # data comes from small node-table gathers at row_e = tt_col —
         # no cross-layout slot permutation (which profiled at ~110 ms).
         qb16 = q.astype(x.dtype)
-        k = (x @ wk + att_params["K"]["b"].astype(x.dtype))
+        k = (x_src @ wk + att_params["K"]["b"].astype(x.dtype))
         qg = qb16[tt_col]                                  # [Bt, Ebt, A]
         gg = g.astype(x.dtype)[tt_col]                     # [Bt, Ebt, D]
         k_tiles = _tile_rows(k, num_tiles_t, tile_t)
-        x_tiles = _tile_rows(x, num_tiles_t, tile_t)
+        x_tiles = _tile_rows(x_src, num_tiles_t, tile_t)
         shift_n = _node_table(shift)
         denom_n = _node_table(denom)
         rho_n = _node_table(rho)
@@ -1127,21 +1164,21 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
         de = denom_n[tt_col]
         re = rho_n[tt_col]
         dkc_t, dxv_t = _bwd3_call(heads, qg, gg, k_tiles, x_tiles, se, de,
-                                  re, tt_lrow, tt_tidx, num_tiles_t, tile_t)
+                                  re, tt_lrow, tt_tidx, num_tiles_t, tile_t,
+                                  vma=vma)
         present_t = presence_scale(tt_tidx, num_tiles_t) > 0
         dk_col = jnp.where(present_t[:, None, None], dkc_t, 0.0) \
-            .reshape(num_tiles_t * tile_t, -1)[:num_nodes]
+            .reshape(num_tiles_t * tile_t, -1)[:num_src]
         dx_val = jnp.where(present_t[:, None, None], dxv_t, 0.0) \
-            .reshape(num_tiles_t * tile_t, -1)[:num_nodes]
+            .reshape(num_tiles_t * tile_t, -1)[:num_src]
 
-        xf = x.astype(jnp.float32)
-        dqw = xf.T @ dq
+        dqw = x.astype(jnp.float32).T @ dq
         dqb = jnp.sum(dq, axis=0)
-        dkw = xf.T @ dk_col
+        dkw = x_src.astype(jnp.float32).T @ dk_col
         dkb = jnp.sum(dk_col, axis=0)
-        dx = (dx_val.astype(jnp.float32)
-              + dq @ att_params["Q"]["w"].astype(jnp.float32).T
-              + dk_col @ att_params["K"]["w"].astype(jnp.float32).T)
+        dx = dq @ att_params["Q"]["w"].astype(jnp.float32).T
+        dx_src = (dx_val.astype(jnp.float32)
+                  + dk_col @ att_params["K"]["w"].astype(jnp.float32).T)
 
         dp = jax.tree_util.tree_map(jnp.zeros_like, att_params)
         dp = dict(dp)
@@ -1150,7 +1187,7 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
         dp["K"] = {"w": dkw.astype(att_params["K"]["w"].dtype),
                    "b": dkb.astype(att_params["K"]["b"].dtype)}
         dew = jnp.zeros_like(edge_weight)
-        return (dp, dx.astype(x.dtype), dew,
+        return (dp, dx.astype(x.dtype), dx_src.astype(x_src.dtype), dew,
                 _f0_of(t_col), _f0_of(t_col), _f0_of(t_col),
                 _f0_of(t_lrow), _f0_of(t_tidx),
                 _f0_of(tt_col), _f0_of(tt_lrow), _f0_of(tt_tidx))
@@ -1164,24 +1201,33 @@ def _f0_of(a):
 
 
 def fused_attention_ax_pallas(cfg, att_params, tiles, x, edge_weight=None,
-                              tiles_t=None):
+                              tiles_t=None, x_src=None, vma_axes=None):
     """Streaming Pallas version of `fused_attention.fused_attention_ax`
     (head-mean, row-normalized transformer attention RHS). With ``tiles_t``
     (carrying ``perm_from_row``) and a supported config, the BACKWARD also
-    runs as Pallas kernels — train=True forwards ride Pallas end to end."""
+    runs as Pallas kernels — train=True forwards ride Pallas end to end.
+
+    ``x_src``: separate gather source for keys/values (``tiles.col``
+    indexes it; the transpose layout ``tiles_t`` covers its rows) — the
+    sharded per-NFE path passes the halo-extended local state here and the
+    backward returns its cotangent separately (routed through the halo
+    exchange by the caller's autodiff). Default: ``x``."""
     use_pallas_bwd = (tiles_t is not None
                       and getattr(tiles_t, "perm_from_row", None) is not None
                       and pallas_bwd_supported(cfg))
     if edge_weight is None:
         edge_weight = jnp.zeros(tiles.edge_slot.reshape(-1).shape,
                                 jnp.float32)
+    xs = x if x_src is None else x_src
+    num_src = int(xs.shape[0])
     if cfg.attention_norm_idx != 0:
         # col-normalized: the transpose tables flow through the forward
         # (denominator reduce) and the XLA-replay backward
         f = _make_fused(cfg, tiles.num_tiles, tiles.tile, tiles.block_edges,
                         tiles.num_nodes,
-                        t_shape=(tiles_t.num_tiles, tiles_t.tile))
-        return f(att_params, x, edge_weight, tiles.edge_slot,
+                        t_shape=(tiles_t.num_tiles, tiles_t.tile),
+                        num_src=num_src, vma_axes=vma_axes)
+        return f(att_params, x, xs, edge_weight, tiles.edge_slot,
                  tiles.slot_mask, tiles.col, tiles.local_row, tiles.tile_idx,
                  tiles_t.slot_mask, tiles_t.col, tiles_t.local_row,
                  tiles_t.tile_idx, tiles_t.perm_from_row)
@@ -1189,11 +1235,12 @@ def fused_attention_ax_pallas(cfg, att_params, tiles, x, edge_weight=None,
         f = _make_fused(cfg, tiles.num_tiles, tiles.tile, tiles.block_edges,
                         tiles.num_nodes,
                         t_shape=(tiles_t.num_tiles, tiles_t.tile),
-                        pallas_bwd=True)
-        return f(att_params, x, edge_weight, tiles.edge_slot,
+                        pallas_bwd=True, num_src=num_src,
+                        vma_axes=vma_axes)
+        return f(att_params, x, xs, edge_weight, tiles.edge_slot,
                  tiles.slot_mask, tiles.col, tiles.local_row, tiles.tile_idx,
                  tiles_t.col, tiles_t.local_row, tiles_t.tile_idx)
     f = _make_fused(cfg, tiles.num_tiles, tiles.tile, tiles.block_edges,
-                    tiles.num_nodes)
-    return f(att_params, x, edge_weight, tiles.edge_slot, tiles.slot_mask,
-             tiles.col, tiles.local_row, tiles.tile_idx)
+                    tiles.num_nodes, num_src=num_src, vma_axes=vma_axes)
+    return f(att_params, x, xs, edge_weight, tiles.edge_slot,
+             tiles.slot_mask, tiles.col, tiles.local_row, tiles.tile_idx)

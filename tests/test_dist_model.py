@@ -510,3 +510,110 @@ def test_sharded_beltrami_forward():
         pos_encoding=data.pos_encoding)
     np.testing.assert_allclose(logits_sh, np.asarray(logits_1), rtol=2e-4,
                                atol=2e-5)
+
+
+# ----------------------------------------------------------------------
+# Windowed + hub-slab local compute inside the production model (r4)
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["attention_dopri5", "hard_attention_rk4"])
+def test_sharded_windowed_forward_matches_single_chip(name):
+    """``local_tiles="windowed"``: the laplacian per-NFE SpMM runs as the
+    block-dense window matmuls (pinned attention values densified once per
+    forward) — logits match the single-chip Trainer."""
+    cfg = CFGS[name]
+    data = _data()
+    trainer = Trainer(cfg, data)
+    state = trainer.init_state(seed=0)
+
+    mesh = make_mesh((8,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 8)
+    sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                               data.num_classes, local_tiles="windowed",
+                               window=64)
+    xs, *_ = _shard_all(data, part)
+
+    logits_sh = unshard_nodes(
+        np.asarray(sharded.forward_logits(state.params, state.model_state,
+                                          xs)), part)
+    feat, _ = trainer._prepare_features(None, train=False)
+    logits_1, _, _ = trainer.model.apply(
+        state.params, state.model_state, data.graph, feat, train=False)
+    np.testing.assert_allclose(logits_sh, np.asarray(logits_1), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_sharded_windowed_training_matches_tiles():
+    """Training losses through the windowed laplacian per-NFE path track
+    the row-tiled path (same edges, reassociated sums) — gradients flow
+    through the per-forward densify and the window matmuls."""
+    cfg = CFGS["hard_attention_rk4"]
+    data = _data(n=64)
+    trainer = Trainer(cfg, data)
+    st = trainer.init_state(seed=0)
+    mesh = make_mesh((8,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 8)
+    xs, ys, m_tr, *_ = _shard_all(data, part)
+
+    losses = {}
+    for lt in (True, "windowed"):
+        sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                                   data.num_classes, local_tiles=lt,
+                                   window=64)
+        params, mstate = st.params, st.model_state
+        opt_state = trainer.tx.init(params)
+        ls = []
+        for i in range(2):
+            params, mstate, opt_state, loss, nfe = sharded.train_step(
+                params, mstate, opt_state, xs, ys, m_tr,
+                jax.random.fold_in(jax.random.PRNGKey(1), i))
+            ls.append(float(np.ravel(np.asarray(loss))[0]))
+        losses[lt] = ls
+    np.testing.assert_allclose(losses["windowed"], losses[True], rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_sharded_hub_forward_and_training():
+    """``local_tiles="hub"``: constant-block laplacian diffusion with the
+    psum'd hub slab + reduced-halo remainder — forward matches the
+    single-chip Trainer and training matches the row-tiled path."""
+    cfg = Config(
+        block="constant", function="laplacian", hidden_dim=16,
+        method="rk4", step_size=0.5, time=2.0, add_source=True,
+        self_loop_weight=1.0, input_dropout=0.0, dropout=0.0, lr=0.02,
+        no_early=True)
+    data = _data()
+    trainer = Trainer(cfg, data)
+    st = trainer.init_state(seed=0)
+    mesh = make_mesh((8,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 8)
+    xs, ys, m_tr, *_ = _shard_all(data, part)
+
+    sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                               data.num_classes, local_tiles="hub",
+                               hub_candidates=(16,))
+    logits_sh = unshard_nodes(
+        np.asarray(sharded.forward_logits(st.params, st.model_state, xs)),
+        part)
+    feat, _ = trainer._prepare_features(None, train=False)
+    logits_1, _, _ = trainer.model.apply(
+        st.params, st.model_state, data.graph, feat, train=False)
+    np.testing.assert_allclose(logits_sh, np.asarray(logits_1), rtol=2e-4,
+                               atol=2e-5)
+
+    losses = {}
+    for lt in (True, "hub"):
+        sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                                   data.num_classes, local_tiles=lt,
+                                   hub_candidates=(16,))
+        params, mstate = st.params, st.model_state
+        opt_state = trainer.tx.init(params)
+        ls = []
+        for i in range(2):
+            params, mstate, opt_state, loss, nfe = sharded.train_step(
+                params, mstate, opt_state, xs, ys, m_tr,
+                jax.random.fold_in(jax.random.PRNGKey(1), i))
+            ls.append(float(np.ravel(np.asarray(loss))[0]))
+        losses[str(lt)] = ls
+    np.testing.assert_allclose(losses["hub"], losses["True"], rtol=2e-4,
+                               atol=2e-5)

@@ -416,8 +416,8 @@ def test_pallas_beltrami_matches_edge_space(flash):
                            g.tiles.block_edges, g.tiles.num_nodes)
         ew = jnp.zeros(g.tiles.edge_slot.reshape(-1).shape, jnp.float32)
         # residual (non-flash) route: ask for residuals via grad (replay)
-        got = f(p, x, ew, g.tiles.edge_slot, g.tiles.slot_mask, g.tiles.col,
-                g.tiles.local_row, g.tiles.tile_idx)
+        got = f(p, x, x, ew, g.tiles.edge_slot, g.tiles.slot_mask,
+                g.tiles.col, g.tiles.local_row, g.tiles.tile_idx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
 
