@@ -36,51 +36,54 @@ def make_sharded_attention_rhs(mesh: Mesh, part: EdgePartition, cfg,
     """Returns ``rhs(att_params, alpha_beta, xs [P, Nb, D], x0s) -> dxs``
     computing the full GRAND-nl step on stacked shards.
 
-    ``att_params``: {'Q': {'w','b'}, 'K': {...}} transformer projections
-    (replicated). scaled_dot scores, softmax over rows, head-mean SpMM."""
-    tables = (jnp.asarray(part.local_row), jnp.asarray(part.local_col),
-              jnp.asarray(part.edge_mask), jnp.asarray(part.send_idx),
-              jnp.asarray(part.halo_gather))
+    ``att_params``: the transformer attention param dict (replicated).
+
+    The attention math (SDDMM → segment softmax → head-mean SpMM) is NOT
+    implemented here: it delegates to the shared two-input fused kernel
+    `graphax.kernels.fused_attention.fused_attention_ax` — the same code
+    the production sharded model (graphax.dist.model) and the single-chip
+    hot path run — so there is exactly one implementation of the sharded
+    transformer RHS (VERDICT r3 #6). This wrapper only adds the halo
+    exchange and the α/β combination."""
+    import dataclasses
+
+    from graphax.dist.partition import shard_row_tiles
+    from graphax.kernels.fused_attention import fused_attention_ax
+
+    tiles = shard_row_tiles(part)
+    tile_tpl = dataclasses.replace(
+        tiles, edge_slot=tiles.edge_slot[0], slot_mask=tiles.slot_mask[0],
+        col=tiles.col[0], local_row=tiles.local_row[0],
+        tile_idx=tiles.tile_idx[0])
+    tables = dict(
+        send_idx=jnp.asarray(part.send_idx),
+        halo_gather=jnp.asarray(part.halo_gather),
+        edge_weight=jnp.asarray(part.edge_weight * part.edge_mask),
+        t_edge_slot=tiles.edge_slot, t_slot_mask=tiles.slot_mask,
+        t_col=tiles.col, t_local_row=tiles.local_row,
+        t_tile_idx=tiles.tile_idx)
+    tkeys = tuple(sorted(tables))
     spec = P(axis_name)
-    heads = cfg.heads
-    d_k = cfg.attention_dim // heads
-    nb = part.block_size
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), spec, spec, (spec,) * 5),
+        in_specs=(P(), P(), spec, spec, {k: spec for k in tkeys}),
         out_specs=spec)
     def run(att_params, ab, xs, x0s, tbl):
-        local_row, local_col, edge_mask, send_idx, halo_gather = \
-            tuple(t[0] for t in tbl)
+        t = {k: v[0] for k, v in tbl.items()}
         x = xs[0]
         x0 = x0s[0]
 
         # ONE halo exchange of the raw state per evaluation
-        halo = halo_exchange(x, send_idx, halo_gather, part.num_shards,
-                             part.pair_size, axis_name)
+        halo = halo_exchange(x, t["send_idx"], t["halo_gather"],
+                             part.num_shards, part.pair_size, axis_name)
         x_ext = jnp.concatenate([x, halo], axis=0)      # [Nb+H, D]
-
-        q = x @ att_params["Q"]["w"] + att_params["Q"]["b"]
-        k_ext = x_ext @ att_params["K"]["w"] + att_params["K"]["b"]
-        q = q.reshape(nb, heads, d_k)
-        k_ext = k_ext.reshape(-1, heads, d_k)
-
-        scores = jnp.einsum(
-            "ehd,ehd->eh", q[local_row],
-            k_ext[local_col] / jnp.sqrt(jnp.asarray(d_k, x.dtype)))
-        scores = jnp.where(edge_mask[:, None], scores, NEG)
-        # softmax over rows is shard-local (rows owned here)
-        smax = jax.ops.segment_max(scores, local_row, num_segments=nb)
-        smax = jnp.where(smax <= NEG / 2, 0.0, smax)
-        e = jnp.exp(scores - smax[local_row])
-        e = jnp.where(edge_mask[:, None], e, 0.0)
-        denom = jax.ops.segment_sum(e, local_row, num_segments=nb)
-        att = e / (denom[local_row] + EPS)
-        mean_att = att.mean(axis=1)
-
-        gathered = x_ext[local_col] * mean_att[:, None]
-        ax = jax.ops.segment_sum(gathered, local_row, num_segments=nb)
+        tiles_local = dataclasses.replace(
+            tile_tpl, edge_slot=t["t_edge_slot"],
+            slot_mask=t["t_slot_mask"], col=t["t_col"],
+            local_row=t["t_local_row"], tile_idx=t["t_tile_idx"])
+        ax = fused_attention_ax(cfg, att_params, tiles_local, x,
+                                edge_weight=t["edge_weight"], x_src=x_ext)
 
         alpha, beta = ab[0], ab[1]
         f = alpha * (ax - x)
