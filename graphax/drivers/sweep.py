@@ -23,6 +23,16 @@ def main(argv=None):
     p.add_argument("--num_splits", type=int, default=2)
     p.add_argument("--data_dir", default="./data")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_concurrent", type=int, default=1,
+                   help="trials trained in parallel, pinned round-robin "
+                        "onto the local devices (Ray-actors analog)")
+    p.add_argument("--search", default="random",
+                   choices=["random", "bayes"],
+                   help="'bayes' proposes configs with TPE after a random "
+                        "startup wave (the reference's AxSearch role)")
+    p.add_argument("--checkpoint_dir", default=None,
+                   help="make the sweep resumable: trial table + per-trial "
+                        "model checkpoints persist here")
     args = p.parse_args(argv)
 
     from graphax.data import get_dataset
@@ -38,7 +48,10 @@ def main(argv=None):
                      max_epochs=args.max_epochs,
                      grace_period=args.grace_period,
                      reduction_factor=args.reduction_factor,
-                     seed=args.seed, verbose=True)
+                     seed=args.seed, verbose=True,
+                     max_concurrent=args.max_concurrent,
+                     search=args.search,
+                     checkpoint_dir=args.checkpoint_dir)
     print(json.dumps({"best_val": out["best_val"],
                       "best_test": out["best_test"],
                       "best_config": {k: v for k, v in
@@ -57,7 +70,8 @@ def main(argv=None):
         stats = replicate_best(make_trainer, out["best_config"],
                                reps=args.replicate_reps,
                                num_splits=args.num_splits,
-                               epochs=args.max_epochs)
+                               epochs=args.max_epochs,
+                               max_concurrent=args.max_concurrent)
         print(json.dumps({"replication": {"val": stats["val"],
                                           "test": stats["test"]}}))
 
