@@ -90,12 +90,16 @@ class TorchTwin:
         vals = att.mean(dim=1)
         alpha = torch.sigmoid(self.alpha_raw)
 
+        # the reference pins x0 DETACHED (`src/base_classes.py:53-55`) — the
+        # source term carries no gradient back to the encoder
+        x0 = z0.detach()
+
         def f(y):
             ax = torch.zeros_like(y)
             ax.index_add_(0, self.tr, y[self.tc] * vals[:, None])
             out = alpha * (ax - y)
             if cfg.add_source:
-                out = out + self.beta_raw * z0
+                out = out + self.beta_raw * x0
             return out
 
         # 3/8-rule rk4 (torchdiffeq rk4_alt_step_func) on a uniform grid
