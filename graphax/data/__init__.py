@@ -18,11 +18,12 @@ from graphax.data.grids import grid_edge_index, chain_edge_index
 from graphax.data.gdc import gdc_diffusion, exact_ppr_matrix, heat_kernel_matrix
 from graphax.data.loaders import get_dataset
 from graphax.data.reorder import community_reorder
+from graphax.data.clevr import build_clevr_hdf5, load_clevr
 
 __all__ = [
     "GraphData", "set_train_val_test_split", "planetoid_split_masks",
     "largest_connected_component", "make_sbm_dataset", "make_synthetic_cora",
     "grid_edge_index", "chain_edge_index", "gdc_diffusion",
     "exact_ppr_matrix", "heat_kernel_matrix", "get_dataset",
-    "community_reorder",
+    "community_reorder", "build_clevr_hdf5", "load_clevr",
 ]

@@ -112,11 +112,14 @@ def train_image_dataset(name: str = "MNIST", epochs: int = 2,
 
 def train_clevr_style(epochs: int = 2, batch_size: int = 4,
                       num_samples: int = 32, cache_path=None,
-                      data_dir=None, log: bool = True, seed: int = 0
-                      ) -> dict:
+                      data_dir=None, log: bool = True, seed: int = 0,
+                      real_clevr: bool = False, split: str = "train",
+                      build_kwargs=None) -> dict:
     """CLEVR-style VQA: grid-graph diffusion over image features with
     cross-modal attention against the question tokens (multi_modal path of
-    every ODE function)."""
+    every ODE function). ``real_clevr=True`` trains on the staged
+    CLEVR_v1.0 split (graphax.data.clevr zip→HDF5 ingestion) instead of
+    the synthetic stand-in."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -126,9 +129,14 @@ def train_clevr_style(epochs: int = 2, batch_size: int = 4,
     from graphax.models import make_multimodal_gnn
     from graphax.train.config import Config
 
-    ds = build_clevr_style_dataset(num_samples=num_samples,
-                                   cache_path=cache_path,
-                                   data_dir=data_dir, seed=seed)
+    if real_clevr:
+        from graphax.data.clevr import load_clevr
+
+        ds = load_clevr(data_dir, split=split, build_kwargs=build_kwargs)
+    else:
+        ds = build_clevr_style_dataset(num_samples=num_samples,
+                                       cache_path=cache_path,
+                                       data_dir=data_dir, seed=seed)
     feat_dim = ds.images.shape[-1]
     text_dim = ds.questions.shape[-1]
     cfg = Config(multi_modal=True, second_modality_dim=text_dim,
@@ -183,11 +191,17 @@ def main(argv=None):
     p.add_argument("--test_size", type=int, default=16)
     p.add_argument("--data_dir", default="./data")
     p.add_argument("--dp_devices", type=int, default=0)
+    p.add_argument("--real_clevr", action="store_true",
+                   help="train on the staged CLEVR_v1.0 raw data "
+                        "(scripts/fetch_data.py --only clevr) instead of "
+                        "the synthetic stand-in")
     args = p.parse_args(argv)
     if args.im_dataset == "CLEVR":
         out = train_clevr_style(epochs=args.epoch,
                                 batch_size=args.batch_size,
-                                num_samples=args.train_size)
+                                num_samples=args.train_size,
+                                data_dir=args.data_dir,
+                                real_clevr=args.real_clevr)
     else:
         out = train_image_dataset(args.im_dataset, epochs=args.epoch,
                                   batch_size=args.batch_size,

@@ -53,9 +53,20 @@ MANIFEST["coauthorcs"] = [(f"{_SHCHUR}/ms_academic_cs.npz",
 
 # OGB ships arxiv as one zip whose inner layout already matches what
 # load_ogbn_arxiv expects once extracted as <data_dir>/ogbn_arxiv/.
+# __unzip__ destinations: "__unzip__:<out_dir>:<zip_inner_root>[:<marker>]"
+# — <marker> is the relative file whose presence means already-extracted.
 MANIFEST["ogbn-arxiv"] = [
     ("http://snap.stanford.edu/ogb/data/nodeproppred/arxiv.zip",
-     "__unzip__:ogbn_arxiv:arxiv"),
+     "__unzip__:ogbn_arxiv:arxiv:raw/edge.csv.gz"),
+]
+
+# CLEVR_v1.0 (~18 GB): extracts to <data_dir>/CLEVR_v1.0/{images,questions};
+# graphax.data.clevr.build_clevr_hdf5 then streams it into the chunked HDF5
+# precompute (the reference's CLEVR_v1 build, `src/data_multi.py:326-428`).
+# Stage the resnet101 / bert checkpoints too for real features.
+MANIFEST["clevr"] = [
+    ("https://dl.fbaipublicfiles.com/clevr/CLEVR_v1.0.zip",
+     "__unzip__:.:.:CLEVR_v1.0/questions/CLEVR_train_questions.json"),
 ]
 
 for _name in ("cornell", "texas", "wisconsin", "chameleon", "squirrel",
@@ -145,7 +156,13 @@ def main(argv=None):
     if args.list:
         for name in names:
             for url, dest in MANIFEST[name]:
-                print(f"{url}\t{args.data_dir}/{dest}")
+                if dest.startswith("__unzip__:"):
+                    parts = dest.split(":")
+                    where = os.path.normpath(
+                        os.path.join(args.data_dir, parts[1]))
+                    print(f"{url}\t[unzip into {where}/]")
+                else:
+                    print(f"{url}\t{args.data_dir}/{dest}")
         return 0
 
     sums = _load_sums(args.data_dir)
@@ -154,9 +171,11 @@ def main(argv=None):
         for url, dest in MANIFEST[name]:
             unzip = dest.startswith("__unzip__:")
             if unzip:
-                _, out_name, inner_root = dest.split(":")
+                parts = dest.split(":")
+                out_name, inner_root = parts[1], parts[2]
+                marker_rel = parts[3] if len(parts) > 3 else "raw/edge.csv.gz"
                 target = os.path.join(args.data_dir, out_name)
-                marker = os.path.join(target, "raw", "edge.csv.gz")
+                marker = os.path.join(target, marker_rel)
                 if os.path.exists(marker):
                     print(f"[skip] {out_name} already extracted")
                     continue
