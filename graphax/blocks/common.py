@@ -204,7 +204,7 @@ def integrate(cfg, func: DiffusionFunction, params, fstate: FuncState,
     else:
         res = odeint(lambda t, y: call(params, fstate, t, y), state0, 0.0,
                      t_end, observer=observer, differentiable=train,
-                     **common)
+                     stage_remat=cfg.stage_remat, **common)
 
     if reg_names:
         z, reg_states = res.y

@@ -878,7 +878,7 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         else:
             res = odeint(lambda t, y: call(pd0, t, y), state0, 0.0,
                          t_end, observer=observer, differentiable=train,
-                         **common)
+                         stage_remat=cfg.stage_remat, **common)
         return res
 
     # ------------------------------------------------------------------

@@ -450,7 +450,7 @@ def odeint(func, y0, t0, t1, *, method: str = "dopri5", rtol: float = 1e-9,
            atol: float = 1e-7, step_size: float = 1.0, max_nfe: int = 1000,
            max_steps: Optional[int] = None, observer: Optional[Observer] = None,
            differentiable: bool = True, first_step=None,
-           norm_fn=None) -> ODEResult:
+           norm_fn=None, stage_remat: bool = False) -> ODEResult:
     """Integrate ``dy/dt = func(t, y)`` from t0 to t1 (t1 > t0).
 
     ``y0`` is any pytree. ``t0``, ``t1``, ``step_size`` must be Python floats
@@ -462,6 +462,17 @@ def odeint(func, y0, t0, t1, *, method: str = "dopri5", rtol: float = 1e-9,
     MUST be a psum'd norm: every device has to take identical accept/reject
     decisions or the per-step collectives deadlock (graphax.dist.model
     supplies the masked global-RMS version).
+
+    ``stage_remat``: additionally rematerialize each RHS EVALUATION in the
+    backward pass (on top of the per-step scan remat). Without it, the
+    recomputed step body materializes every stage's RHS internals at once
+    before the stage backwards run — for a per-NFE attention RHS at
+    ogbn-arxiv scale that is ~3.5 GB × stages of edge-sized buffers live
+    simultaneously (measured 14 GiB peak, at the HBM edge); with it, one
+    stage's internals are recomputed exactly when its backward needs them
+    (peak O(one stage), cost one extra RHS eval per stage). Enable for
+    RHS with large per-evaluation footprints (per-NFE transformer/GAT
+    attention); pointless for cheap RHS (laplacian SpMM).
     """
     y0_flat, unravel = ravel_pytree(y0)
     dtype = y0_flat.dtype
@@ -470,6 +481,9 @@ def odeint(func, y0, t0, t1, *, method: str = "dopri5", rtol: float = 1e-9,
         dy = func(t, unravel(y_flat))
         dy_flat, _ = ravel_pytree(dy)
         return dy_flat
+
+    if stage_remat and differentiable:
+        flat_func = jax.checkpoint(flat_func)
 
     if method in FIXED_STEP_METHODS:
         return _odeint_fixed(flat_func, y0_flat, t0, t1, method, step_size,

@@ -64,6 +64,14 @@ class Config:
     tol_scale_adjoint: float = 1.0
     ode_blocks: int = 1
     max_nfe: int = 1000
+    # NEW (no reference analog): rematerialize each RHS evaluation in the
+    # backward pass on top of the per-step scan remat — halves peak HBM for
+    # per-NFE attention RHS at the cost of one extra RHS eval per stage
+    # (measured at ogbn-arxiv scale, 16-NFE sharded transformer train step:
+    # 14.4 -> 8.3 GiB peak, 1.95 -> 3.76 s). Enable when a big config's
+    # train step hits the HBM ceiling (XLA then silently spill-compresses,
+    # a ~50x slowdown).
+    stage_remat: bool = False
     no_early: bool = False
     earlystopxT: float = 3.0
     max_test_steps: int = 100

@@ -38,7 +38,13 @@ def measure(function: str, n=169_343, d=162, avg_deg=14, steps=2):
 
     cfg = Config(
         block="attention", function=function, hidden_dim=d, heads=4,
-        attention_dim=d + 2 if (d + 2) % 4 == 0 else (d // 4) * 4,
+        # MXU-aligned head width (d_k = 40). The r3 harness picked 164
+        # (d_k = 41) — numerically fine, but the extra unaligned padding
+        # pushed the 16-NFE train step over the HBM ceiling and XLA's
+        # silent spill-compression made it 113 s instead of 1.9 s
+        # (SCALING.md r4 section; Config.stage_remat is the designed
+        # escape hatch for configs that genuinely exceed HBM).
+        attention_dim=(d // 4) * 4,
         attention_type="scaled_dot", method="rk4", step_size=0.25,
         time=1.0, add_source=True, self_loop_weight=1.0,
         input_dropout=0.0, dropout=0.0, lr=0.005, no_early=True,

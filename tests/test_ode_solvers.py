@@ -251,3 +251,37 @@ def test_norm_fn_override_changes_controller():
     np.testing.assert_allclose(np.asarray(base.y), np.asarray(hard.y),
                                rtol=1e-4)
     assert int(hard.nfe) > int(base.nfe)
+
+
+def test_stage_remat_gradients_identical():
+    """``stage_remat=True`` only changes WHEN activations are recomputed
+    (per RHS evaluation instead of per step) — values and gradients must be
+    bit-identical to the plain differentiable path, fixed-step and
+    adaptive."""
+    a = jnp.asarray(np.random.RandomState(0).randn(6, 6), jnp.float32) * 0.3
+
+    def make_loss(method, **kw):
+        def loss(scale):
+            def rhs(t, y):
+                return scale * jnp.tanh(y @ a.T) - 0.5 * y
+
+            res = odeint(rhs, jnp.ones(6), 0.0, 2.0, method=method,
+                         differentiable=True, **kw)
+            return jnp.sum(res.y ** 2)
+
+        return loss
+
+    s = jnp.asarray(1.3)
+    for method, kw in (("rk4", dict(step_size=0.5)),
+                       ("dopri5", dict(rtol=1e-6, atol=1e-8))):
+        base = make_loss(method, **kw)
+        remat = make_loss(method, stage_remat=True, **kw)
+        # primal is identical (remat changes only the backward schedule);
+        # gradients agree to fp reassociation noise (XLA refuses the exact
+        # same fusion order for the recomputed stages)
+        np.testing.assert_array_equal(np.asarray(base(s)),
+                                      np.asarray(remat(s)))
+        g0 = jax.grad(base)(s)
+        g1 = jax.grad(remat)(s)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   rtol=1e-5, atol=1e-6)
