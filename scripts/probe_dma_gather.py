@@ -53,9 +53,16 @@ def dma_gather_sum(x, idx, eb: int):
         b = pl.program_id(0)
 
         def body(scratch, sems):
+            # Mosaic constraint (measured, r4): DMA slices of a tiled
+            # [N, D] array must be SUBLANE-ALIGNED — a single-row copy
+            # "must be aligned to tiling (8)". The minimal expressible
+            # random-row gather therefore copies the aligned 8-row group
+            # containing the target row: 8x read amplification before the
+            # issue rate is even counted.
             def get_dma(e):
+                aligned = (idx_ref[b, e] // 8) * 8
                 return pltpu.make_async_copy(
-                    x_hbm.at[idx_ref[b, e]],
+                    x_hbm.at[pl.ds(aligned, 8)],
                     scratch.at[e % (2 * NBUF)],
                     sems.at[e % NBUF])
 
@@ -73,11 +80,15 @@ def dma_gather_sum(x, idx, eb: int):
                 return 0
 
             jax.lax.fori_loop(max(eb - NBUF, 0), eb, drain, 0)
-            o_ref[b, :] = jnp.sum(scratch[:], axis=0)
+            # broadcast the block reduction over an 8-row output block —
+            # a single dynamic-row store would need sublane alignment
+            o_ref[0] = jnp.broadcast_to(
+                jnp.sum(scratch[:].reshape(2 * NBUF * 8, d),
+                        axis=0)[None], (8, d))
 
         pl.run_scoped(
             body,
-            scratch=pltpu.VMEM((2 * NBUF, d), x.dtype),
+            scratch=pltpu.VMEM((2 * NBUF, 8, d), x.dtype),
             sems=pltpu.SemaphoreType.DMA((NBUF,)),
         )
 
@@ -85,13 +96,11 @@ def dma_gather_sum(x, idx, eb: int):
         num_scalar_prefetch=1,
         grid=(bblocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        # whole output resident in VMEM across grid steps (no per-block
-        # mapping — a (1, d) block would violate the (8, 128) tiling rule)
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 8, d), lambda i, *_: (i, 0, 0)),
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bblocks, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bblocks, 8, d), x.dtype),
         interpret=_interpret(),
     )(idx, x)
 
@@ -102,14 +111,15 @@ def consume_sum(xg):
     b, eb, d = xg.shape
 
     def kernel(xg_ref, o_ref):
-        o_ref[pl.program_id(0), :] = jnp.sum(xg_ref[0], axis=0)
+        o_ref[0] = jnp.broadcast_to(jnp.sum(xg_ref[0], axis=0)[None],
+                                    (8, d))
 
     return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[pl.BlockSpec((1, eb, d), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d), xg.dtype),
+        out_specs=pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 8, d), xg.dtype),
         interpret=_interpret(),
     )(xg)
 
