@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def measure(function: str, n=169_343, d=162, avg_deg=14, steps=2):
+def measure(function: str, n=169_343, d=162, avg_deg=14, steps=2,
+            local_tiles="auto", kind="sbm"):
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +51,7 @@ def measure(function: str, n=169_343, d=162, avg_deg=14, steps=2):
         input_dropout=0.0, dropout=0.0, lr=0.005, no_early=True,
         dtype="bfloat16")
 
-    row, col = build_graph("sbm", n, avg_deg)
+    row, col = build_graph(kind, n, avg_deg)
     g = Graph.from_edges(row, col, n)
     num_classes = 40
     rng = np.random.RandomState(0)
@@ -59,7 +60,7 @@ def measure(function: str, n=169_343, d=162, avg_deg=14, steps=2):
     part = normalized_partition(cfg, g, 1)
     t0 = time.time()
     sharded = make_sharded_gnn(mesh, part, cfg, d, num_classes,
-                               local_tiles=True)
+                               local_tiles=local_tiles)
     build_s = time.time() - t0
 
     x = rng.randn(n, d).astype(np.float32)
@@ -107,7 +108,8 @@ def measure(function: str, n=169_343, d=162, avg_deg=14, steps=2):
     eval_ms = min(ev) * 1e3
     nfe_v = int(np.ravel(np.asarray(nfe))[0])
     return {
-        "function": function, "n": n, "e": int(g.num_edges), "d": d,
+        "function": function, "local_tiles": str(local_tiles),
+        "kind": kind, "n": n, "e": int(g.num_edges), "d": d,
         "train_step_ms": round(train_ms, 1),
         "eval_forward_ms": round(eval_ms, 1),
         "nfe_per_forward": nfe_v,
@@ -121,6 +123,12 @@ def measure(function: str, n=169_343, d=162, avg_deg=14, steps=2):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "transformer"
+    if which == "windowed":
+        # laplacian per-NFE SpMM as block-dense window matmuls on a
+        # community-ordered graph (the windowed strategy's precondition)
+        print(json.dumps([measure("laplacian", local_tiles="windowed",
+                                  kind="sbm_ordered")], indent=1))
+        raise SystemExit(0)
     fns = ("transformer", "laplacian") if which == "both" else (which,)
     out = [measure(f) for f in fns]
     print(json.dumps(out, indent=1))

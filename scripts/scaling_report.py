@@ -36,6 +36,10 @@ DTYPE_BYTES = 2         # bf16 features
 
 
 def build_graph(kind: str, n: int, avg_deg: int, seed: int = 1):
+    """kinds: "uniform" | "sbm" (community structure, node ids SHUFFLED so
+    partitioners must find it) | "sbm_ordered" (ids sorted by community —
+    what a dataset looks like AFTER graphax.data.community_reorder, the
+    precondition of the windowed strategy)."""
     rng = np.random.RandomState(seed)
     if kind == "uniform":
         row = rng.randint(0, n, n * avg_deg)
@@ -49,11 +53,12 @@ def build_graph(kind: str, n: int, avg_deg: int, seed: int = 1):
         col_in = (comm * block + rng.randint(0, block, n * avg_deg)) % n
         col_out = rng.randint(0, n, n * avg_deg)
         col = np.where(within, col_in, col_out)
-        # real datasets' node ids are NOT sorted by community — shuffle so
-        # contiguous id blocks can't exploit the structure for free and the
-        # partitioners have to find it
-        perm = rng.permutation(n)
-        row, col = perm[row], perm[col]
+        if kind != "sbm_ordered":
+            # real datasets' node ids are NOT sorted by community — shuffle
+            # so contiguous id blocks can't exploit the structure for free
+            # and the partitioners have to find it
+            perm = rng.permutation(n)
+            row, col = perm[row], perm[col]
     keep = row != col
     row, col = row[keep], col[keep]
     order = np.lexsort((col, row))
