@@ -200,8 +200,13 @@ def test_fetch_data_manifest_layout():
     assert "DD/CoauthorCS/raw/ms_academic_cs.npz" in dests
     assert "DD/cornell/raw/out1_graph_edges.txt" in dests
     assert "DD/cornell/raw/cornell_split_0.6_0.2_0.npz" in dests
-    assert any("__unzip__:ogbn_arxiv" in d for d in dests)
+    # zip entries render as "[unzip into <dir>/]" in --list (r4)
+    assert any("unzip into DD/ogbn_arxiv" in d for d in dests)
+    assert any("unzip into DD" in d and "CLEVR" not in d for d in dests)
     assert "DD/MNIST/raw/train-images-idx3-ubyte.gz" in dests
+    # CLEVR_v1.0.zip staged (graphax.data.clevr ingestion)
+    urls = [line.split("\t")[0] for line in out.strip().splitlines()]
+    assert any("CLEVR_v1.0.zip" in u for u in urls)
 
 
 def _tiny_resnet_state_dict(stages=(1, 1), width=4):
