@@ -117,6 +117,9 @@ def build_clevr_hdf5(data_dir: str, split: str = "train", grid: int = 14,
         if f.endswith(".png"))
     if max_images is not None:
         images_list = images_list[:max_images]
+    if not images_list:
+        raise FileNotFoundError(f"no .png images under {img_dir} "
+                                "(empty split or max_images=0)")
     with open(q_file) as f:
         questions = json.load(f)["questions"]
     if max_images is not None:
@@ -125,7 +128,10 @@ def build_clevr_hdf5(data_dir: str, split: str = "train", grid: int = 14,
     if max_questions is not None:
         questions = questions[:max_questions]
 
-    # vocabularies come from the train split; other splits reuse them
+    # vocabularies come from the TRAIN split; other splits must reuse them
+    # (a val-built answer vocab silently permutes class indices whenever
+    # the answer sets differ — `src/data_multi.py:373-384` likewise builds
+    # answers_list only on train)
     if split == "train":
         token_vocab = build_token_vocab(questions)
         answer_list = build_answer_vocab(questions)
@@ -136,8 +142,19 @@ def build_clevr_hdf5(data_dir: str, split: str = "train", grid: int = 14,
                 voc = json.load(f)
             token_vocab, answer_list = voc["tokens"], voc["answers"]
         else:
-            token_vocab = build_token_vocab(questions)
-            answer_list = build_answer_vocab(questions)
+            # no precomputed train HDF5 yet: build the vocab from the raw
+            # train questions file directly so indices stay train-anchored
+            train_q = os.path.join(root, "questions",
+                                   "CLEVR_train_questions.json")
+            if not os.path.exists(train_q):
+                raise FileNotFoundError(
+                    f"cannot build the '{split}' split before a train "
+                    "vocabulary exists: build the train split first or "
+                    f"stage {train_q}")
+            with open(train_q) as f:
+                tq = json.load(f)["questions"]
+            token_vocab = build_token_vocab(tq)
+            answer_list = build_answer_vocab(tq)
     answer_idx = {a: i for i, a in enumerate(answer_list)}
 
     n_img, n_q = len(images_list), len(questions)
@@ -198,35 +215,78 @@ class ClevrDataset(MultimodalGraphDataset):
     image_indices: Optional[np.ndarray] = None
 
     def __getitem__(self, i):
-        item = super().__getitem__(i)
-        item["modality_data"][0] = self.images[int(self.image_indices[i])]
-        return item
+        # NOT super().__getitem__: the base class indexes images by the
+        # SAMPLE index, which for CLEVR runs past the deduplicated image
+        # array as soon as i >= n_images (several questions per image)
+        tg = self.text_graph
+        if self.question_lengths is not None:
+            import jax
+
+            from graphax.data.multimodal import batched_chain_graphs
+
+            stacked = batched_chain_graphs(self.question_lengths[i:i + 1],
+                                           self.questions.shape[1])
+            tg = jax.tree_util.tree_map(lambda a: a[0], stacked)
+        return {
+            "modality_data": [
+                np.asarray(self.images[int(self.image_indices[i])]),
+                np.asarray(self.questions[int(i)]),
+            ],
+            "modality_graphs": [self.image_graph, tg],
+            "additional_data": None,
+            "labels": self.answers[int(i)],
+        }
+
+    @staticmethod
+    def _take(arr, sel):
+        """Fancy-index ``arr`` by an UNSORTED index array, supporting both
+        numpy arrays and h5py datasets (which require sorted unique
+        indices: read the sorted uniques, then re-expand)."""
+        if isinstance(arr, np.ndarray):
+            return arr[sel]
+        uniq, inv = np.unique(np.asarray(sel), return_inverse=True)
+        return np.asarray(arr[uniq])[inv]
 
     def batches(self, batch_size: int, seed: int = 0):
         idx = np.random.RandomState(seed).permutation(len(self))
         for s in range(0, len(self) - batch_size + 1, batch_size):
             sel = idx[s:s + batch_size]
-            yield (self.images[self.image_indices[sel]],
-                   self.questions[sel], self.answers[sel], sel)
+            yield (self._take(self.images, self.image_indices[sel]),
+                   self._take(self.questions, sel),
+                   self.answers[sel], sel)
 
 
 def load_clevr(data_dir: str, split: str = "train",
-               build_kwargs: Optional[dict] = None) -> ClevrDataset:
+               build_kwargs: Optional[dict] = None,
+               lazy: Optional[bool] = None) -> ClevrDataset:
     """Load (building the HDF5 precompute on first use) a real CLEVR
-    split as a :class:`ClevrDataset`."""
+    split as a :class:`ClevrDataset`.
+
+    ``lazy``: keep the big per-sample arrays (images, questions) as open
+    h5py datasets and read them batch-wise — the point of the chunked
+    layout; real CLEVR train at the defaults is ~8 GB materialized.
+    Default: lazy for splits over ~1 GB, eager below (fixture-sized
+    splits train faster from RAM). The small per-question tables
+    (indices, lengths, answers) always load eagerly."""
     import h5py
 
     path = build_clevr_hdf5(data_dir, split, **(build_kwargs or {}))
-    with h5py.File(path, "r") as f:
-        images = f["images"][:]
-        questions = f["questions"][:]
-        image_indices = f["image_indices"][:].astype(np.int64)
-        q_lens = f["question_lengths"][:].astype(np.int64)
-        answers = (f["answers"][:].astype(np.int64)
-                   if "answers" in f else
-                   np.zeros(len(image_indices), np.int64))
-        grid = int(f.attrs["grid"])
-        num_classes = int(f.attrs["num_classes"])
+    f = h5py.File(path, "r")
+    image_indices = f["image_indices"][:].astype(np.int64)
+    q_lens = f["question_lengths"][:].astype(np.int64)
+    answers = (f["answers"][:].astype(np.int64) if "answers" in f
+               else np.zeros(len(image_indices), np.int64))
+    grid = int(f.attrs["grid"])
+    num_classes = int(f.attrs["num_classes"])
+    big_bytes = f["images"].nbytes + f["questions"].nbytes
+    if lazy is None:
+        lazy = big_bytes > 1 << 30
+    if lazy:
+        images, questions = f["images"], f["questions"]   # h5py-backed
+    else:
+        images = np.asarray(f["images"][:], np.float32)
+        questions = np.asarray(f["questions"][:], np.float32)
+        f.close()
     max_len = questions.shape[1]
     ig_row, ig_col = grid_edge_index(grid, grid, diagonals=False)
     image_graph = build.build_graph(ig_row, ig_col, grid * grid,
@@ -236,7 +296,6 @@ def load_clevr(data_dir: str, split: str = "train",
                                    self_loop_weight=1.0)
     return ClevrDataset(
         image_graph=image_graph, text_graph=text_graph,
-        images=np.asarray(images, np.float32),
-        questions=np.asarray(questions, np.float32),
+        images=images, questions=questions,
         answers=answers, num_classes=max(num_classes, 1),
         question_lengths=q_lens, image_indices=image_indices)

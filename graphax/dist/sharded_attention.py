@@ -50,6 +50,19 @@ def make_sharded_attention_rhs(mesh: Mesh, part: EdgePartition, cfg,
     from graphax.dist.partition import shard_row_tiles
     from graphax.kernels.fused_attention import fused_attention_ax
 
+    # coverage gate: the shared kernel's col-normalized softmax needs the
+    # transpose layout this standalone wrapper does not build, and
+    # squareplus is shift-VARIANT — a per-shard max shift would make the
+    # values depend on the shard count. The production model
+    # (graphax.dist.model.make_sharded_gnn) handles both via its
+    # cross-shard combines; use it for those configs.
+    if cfg.attention_norm_idx != 0 or cfg.square_plus:
+        raise NotImplementedError(
+            "make_sharded_attention_rhs covers row-normalized softmax "
+            "(attention_norm_idx=0, square_plus=False); use "
+            "graphax.dist.model.make_sharded_gnn for col-normalized or "
+            "squareplus attention")
+
     tiles = shard_row_tiles(part)
     tile_tpl = dataclasses.replace(
         tiles, edge_slot=tiles.edge_slot[0], slot_mask=tiles.slot_mask[0],

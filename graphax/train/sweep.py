@@ -357,15 +357,30 @@ def asha_sweep(make_trainer: Callable[[Config], Any], base: Config,
         wave = max(1, max_concurrent or 1)
         startup = min(num_samples, max(4, wave))
         proposer = TPEProposer(space, seed=seed)
-        while len(trials) < num_samples:
+        while True:
+            # progress guarantee (resume path): finish any already-created
+            # trials still short of the grace rung BEFORE proposing more —
+            # a sweep killed mid-wave otherwise re-enters with
+            # len(trials) >= startup but no new work and spins forever
+            pending = [t for t in trials
+                       if t["epochs_done"] < grace_period]
+            if pending:
+                alive = list(trials)
+                _run_trials(pending, grace_period, make_trainer,
+                            checkpoint_dir, on_done, max_concurrent,
+                            devices)
+                continue
+            if len(trials) >= num_samples:
+                break
             done = [t for t in trials if t["epochs_done"] >= grace_period]
             if len(done) < startup:
                 kws = [sample_config_kwargs(space, rng)
-                       for _ in range(startup - len(trials))]
+                       for _ in range(startup - len(done))]
             else:
                 obs = [(t["kw"], t["val_acc"]) for t in done if "kw" in t]
                 kws = [proposer.propose(obs)
                        for _ in range(min(wave, num_samples - len(trials)))]
+            kws = kws[:num_samples - len(trials)]
             new = [{"cfg": _apply_kwargs(base, kw), "kw": kw,
                     "epochs_done": 0, "val_acc": 0.0, "test_acc": 0.0,
                     "id": len(trials) + i} for i, kw in enumerate(kws)]

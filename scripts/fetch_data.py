@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import hashlib
-import io
 import os
 import sys
 import zipfile
@@ -138,6 +137,18 @@ def fetch(url: str, timeout: float = 120.0) -> bytes:
         return r.read()
 
 
+def fetch_to_file(url: str, path: str, timeout: float = 600.0) -> None:
+    """Stream a (possibly huge — CLEVR_v1.0.zip is ~18 GB) download to
+    disk; never holds the body in memory."""
+    import shutil
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": "graphax/0.1"})
+    with urllib.request.urlopen(req, timeout=timeout) as r, \
+            open(path, "wb") as f:
+        shutil.copyfileobj(r, f, length=16 << 20)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--data-dir", default="./data")
@@ -195,13 +206,21 @@ def main(argv=None):
                         continue
             try:
                 print(f"[get] {url}")
-                data = fetch(url)
+                if unzip:
+                    # stream archives to disk — CLEVR_v1.0.zip is ~18 GB,
+                    # far beyond an in-memory BytesIO
+                    os.makedirs(args.data_dir, exist_ok=True)
+                    zip_tmp = os.path.join(
+                        args.data_dir, os.path.basename(url) + ".part")
+                    fetch_to_file(url, zip_tmp)
+                else:
+                    data = fetch(url)
             except Exception as e:  # noqa: BLE001 — report and continue
                 failures.append((url, str(e)))
                 print(f"[FAIL] {url}: {e}", file=sys.stderr)
                 continue
             if unzip:
-                with zipfile.ZipFile(io.BytesIO(data)) as z:
+                with zipfile.ZipFile(zip_tmp) as z:
                     for member in z.namelist():
                         rel = os.path.relpath(member, inner_root)
                         if rel.startswith(".."):
@@ -210,8 +229,11 @@ def main(argv=None):
                         if member.endswith("/"):
                             continue
                         os.makedirs(os.path.dirname(out), exist_ok=True)
-                        with open(out, "wb") as f:
-                            f.write(z.read(member))
+                        with open(out, "wb") as f, z.open(member) as src:
+                            import shutil
+
+                            shutil.copyfileobj(src, f, length=16 << 20)
+                os.remove(zip_tmp)
                 print(f"[ok] extracted -> {target}")
             else:
                 os.makedirs(os.path.dirname(target), exist_ok=True)

@@ -128,3 +128,74 @@ def test_real_clevr_training_epoch(tmp_path):
                             real_clevr=True, build_kwargs=kw, log=False)
     losses = [h["loss"] for h in out["history"]]
     assert np.isfinite(losses).all()
+
+
+def test_getitem_beyond_image_count_and_lazy(tmp_path):
+    """Review r4: __getitem__ must work for question indices past the
+    deduplicated image count (several questions per image), and lazy
+    loading must serve identical batches from the open HDF5."""
+    root = str(tmp_path)
+    _stage_mini_clevr(root, n_img=2)   # 5 questions share 2 images
+    kw = dict(grid=GRID, feat_dim=FEAT, text_dim=TEXT,
+              max_question_len=QLEN, batch_size=2)
+    # only keep questions whose image exists in the truncated image list
+    ds = load_clevr(root, "train",
+                    build_kwargs=dict(max_images=2, **kw))
+    assert len(ds) == 3                     # questions on images 0 and 1
+    item_last = ds[len(ds) - 1]             # index >= n_images
+    np.testing.assert_array_equal(
+        item_last["modality_data"][0],
+        ds.images[int(ds.image_indices[len(ds) - 1])])
+
+    lazy = load_clevr(root, "train", lazy=True,
+                      build_kwargs=dict(max_images=2, **kw))
+    assert not isinstance(lazy.images, np.ndarray)
+    xb_l, qb_l, yb_l, sel_l = next(lazy.batches(3, seed=1))
+    xb_e, qb_e, yb_e, sel_e = next(ds.batches(3, seed=1))
+    np.testing.assert_array_equal(sel_l, sel_e)
+    np.testing.assert_allclose(xb_l, xb_e)
+    np.testing.assert_allclose(qb_l, qb_e)
+    item_lazy = lazy[len(lazy) - 1]
+    np.testing.assert_allclose(item_lazy["modality_data"][0],
+                               item_last["modality_data"][0])
+
+
+def test_val_build_without_train_h5_uses_train_vocab(tmp_path):
+    """Review r4: building val BEFORE train must anchor vocabularies to
+    the raw train questions (never the val split's own answers)."""
+    root = str(tmp_path)
+    _stage_mini_clevr(root, "train")
+    _stage_mini_clevr(root, "val")
+    kw = dict(grid=GRID, feat_dim=FEAT, text_dim=TEXT,
+              max_question_len=QLEN, batch_size=2)
+    build_clevr_hdf5(root, "val", **kw)     # train h5 does NOT exist yet
+    with h5py.File(h5_path(root, "val"), "r") as f:
+        # train answer vocab: ["2", "blue", "red", "yes"]
+        assert f.attrs["num_classes"] == 4
+
+    # and with no train questions either, the build refuses loudly
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "CLEVR_v1.0", "questions"))
+    os.remove(h5_path(root, "val"))
+    _stage_mini_clevr_questions_only(root, "val")
+    with pytest.raises(FileNotFoundError, match="train"):
+        build_clevr_hdf5(root, "val", **kw)
+
+
+def _stage_mini_clevr_questions_only(root, split):
+    q_dir = os.path.join(root, "CLEVR_v1.0", "questions")
+    os.makedirs(q_dir, exist_ok=True)
+    qs = [{k: v for k, v in q.items() if k != "answer"} for q in QUESTIONS]
+    with open(os.path.join(q_dir, f"CLEVR_{split}_questions.json"),
+              "w") as f:
+        json.dump({"questions": qs}, f)
+
+
+def test_empty_image_dir_raises(tmp_path):
+    root = str(tmp_path)
+    _stage_mini_clevr(root)
+    kw = dict(grid=GRID, feat_dim=FEAT, text_dim=TEXT,
+              max_question_len=QLEN, batch_size=2)
+    with pytest.raises(FileNotFoundError, match="no .png images"):
+        build_clevr_hdf5(root, "train", max_images=0, **kw)

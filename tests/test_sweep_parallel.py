@@ -8,6 +8,8 @@ Ray dependency: a thread pool pinning trials round-robin onto devices
 """
 
 import math
+
+import pytest
 import time
 
 import jax
@@ -143,3 +145,30 @@ def test_replicate_best_parallel_matches_sequential():
                          devices=jax.devices()[:3])
     assert seq["raw_val"] == par["raw_val"]
     assert seq["val"]["mean"] == par["val"]["mean"]
+
+
+def test_bayes_resume_after_midwave_kill(tmp_path):
+    """Review r4: a checkpointed bayes sweep killed during the startup
+    wave must resume and finish (the fill loop previously spun forever
+    with pending-but-uncreated work)."""
+    base = Config()
+    td = str(tmp_path)
+    calls = {"n": 0}
+
+    class _Dying(_MockTrainer):
+        def fit(self, epochs=None, seed=None, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated kill")
+            return super().fit(epochs=epochs, seed=seed, **kw)
+
+    kw = dict(space=SPACE, num_samples=6, max_epochs=2, grace_period=2,
+              reduction_factor=2, seed=5, search="bayes",
+              checkpoint_dir=td)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        asha_sweep(lambda c: _Dying(c), base, **kw)
+
+    out = asha_sweep(lambda c: _MockTrainer(c), base, **kw)
+    assert len(out["trials"]) == 6
+    assert all(t["epochs_done"] >= 2 for t in out["trials"])
+    assert out["best_val"] > 0
