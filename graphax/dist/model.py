@@ -226,18 +226,26 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         tables["rtT_perm"] = jnp.asarray(np.stack(perms))
 
     if win_mode:
-        from graphax.dist.sharded import (
-            shard_window_tables, windowed_overlap_pack,
-        )
+        # r4.2: the Pallas windowed local compute — blocked in-window
+        # layout (densify once per forward, per-NFE batched MXU matmuls
+        # split into a halo-independent pass that overlaps the all_to_all
+        # and a halo pass) + the residual on an owned/halo `_spmm_cv`-style
+        # pair with a scatter-free transpose backward. CPU meshes drive
+        # the jnp twins of the same kernels on the same tables.
+        from graphax.dist.sharded import shard_window_blocks
 
-        wtab = shard_window_tables(part, window=window)
-        for k, v in windowed_overlap_pack(part, wtab).items():
-            tables["wd_" + k] = jnp.asarray(v)
-        win_consts = dict(
-            nb=nb, nw=wtab["num_windows"],
-            nwl=(nb + wtab["window"] - 1) // wtab["window"], ext=ext,
-            t=wtab["num_tiles"], tile=wtab["tile"],
-            window=wtab["window"])
+        wblk_tables, wblk_tiles, win_consts = shard_window_blocks(
+            part, window=window)
+        for k, v in wblk_tables.items():
+            tables[k] = jnp.asarray(v)
+        for pfx, tt in wblk_tiles.items():      # same storing as tset above
+            for fld in ("edge_slot", "slot_mask", "col", "local_row",
+                        "tile_idx"):
+                tables[pfx + fld] = getattr(tt, fld)
+            tile_tpls[pfx] = dataclasses.replace(
+                tt, edge_slot=tt.edge_slot[0], slot_mask=tt.slot_mask[0],
+                col=tt.col[0], local_row=tt.local_row[0],
+                tile_idx=tt.tile_idx[0])
     if hub_mode:
         from graphax.dist.partition import partition_graph
         from graphax.dist.sharded import (
@@ -331,22 +339,36 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             return jnp.zeros_like(a)
         return np.zeros(a.shape, jax.dtypes.float0)
 
-    @jax.custom_vjp
-    def _spmm_cv(vals, x_ext, tbl):
+    # Per-shard tiled SpMM primal: the Pallas streaming kernel on TPU
+    # (r4.2 — keeps everything but the irreducible gather in VMEM, ~2.5x
+    # the XLA one-hot MXU path per NFE), the XLA segment_mxu twin on CPU
+    # meshes (pallas interpret mode cannot run under strict-vma shard_map).
+    tiles_pallas = local_tiles and jax.default_backend() == "tpu"
+    tiles_vma = (axis_name,) if tiles_pallas else None
+
+    def _tiled_one(vals, x, tbl, pfx):
+        if tiles_pallas:
+            from graphax.kernels.pallas_tiled import spmm_tiles_pallas
+
+            return spmm_tiles_pallas(vals, x, _mk_tiles(tbl, pfx),
+                                     vma=tiles_vma)
         from graphax.kernels.segment_mxu import tiled_spmm
 
-        return (tiled_spmm(vals, x_ext[:nb], _mk_tiles(tbl, "lt_"))
-                + tiled_spmm(vals, x_ext[nb:], _mk_tiles(tbl, "ht_")))
+        return tiled_spmm(vals, x, _mk_tiles(tbl, pfx))
+
+    @jax.custom_vjp
+    def _spmm_cv(vals, x_ext, tbl):
+        out = (_tiled_one(vals, x_ext[:nb], tbl, "lt_")
+               + _tiled_one(vals, x_ext[nb:], tbl, "ht_"))
+        return out.astype(x_ext.dtype)
 
     def _spmm_cv_fwd(vals, x_ext, tbl):
         return _spmm_cv(vals, x_ext, tbl), (vals, x_ext, tbl)
 
     def _spmm_cv_bwd(res, g):
-        from graphax.kernels.segment_mxu import tiled_spmm
-
         vals, x_ext, tbl = res
         gf = g.astype(x_ext.dtype)
-        dxe = tiled_spmm(vals, gf, _mk_tiles(tbl, "rtT_"))     # [ext, D]
+        dxe = _tiled_one(vals, gf, tbl, "rtT_")                # [ext, D]
         ge = gf[tbl["local_row"]].astype(jnp.float32)
         xe = x_ext[tbl["local_col"]].astype(jnp.float32)
         dw = jnp.where(tbl["edge_mask"], jnp.sum(ge * xe, axis=-1), 0.0)
@@ -586,11 +608,95 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             halo[tbl["halo_col"]] * w_hal[:, None].astype(z.dtype),
             tbl["halo_row"], num_segments=nb)
 
-    def _win_t(tbl):
-        t_ = {k[3:]: v for k, v in tbl.items() if k.startswith("wd_")}
-        t_["send_idx"] = tbl["send_idx"]
-        t_["halo_gather"] = tbl["halo_gather"]
-        return t_
+    # windowed local compute (r4.2): Pallas on TPU, jnp twins on CPU meshes
+    win_pallas = win_mode and jax.default_backend() == "tpu"
+    win_vma = (axis_name,) if win_pallas else None
+
+    def _win_view(tbl):
+        from graphax.kernels.windows import WindowTiles
+
+        wc = win_consts
+        return WindowTiles(
+            edge_slot=tbl["wbt_edge_slot"], slot_mask=tbl["wbt_slot_mask"],
+            lcol=tbl["wbt_lcol"], local_row=tbl["wbt_lrow"],
+            tile_idx=tbl["wbt_tile_idx"], win_id=tbl["wbt_tile_idx"],
+            tile_win=tbl["wbt_tile_win"], dense_mask=None, residual=None,
+            residual_t=None, window=wc["window"],
+            num_windows=wc["num_windows"], num_tiles=wc["num_tiles"],
+            tile=wc["tile"], block_edges=wc["block_edges"],
+            num_nodes=nb)
+
+    def _win_prepare(wv, tbl):
+        """Once per forward: densify the in-window edge values (custom-vjp
+        Pallas kernel / jnp twin) and split the blocks by window locality
+        so the per-NFE local pass has no data dependency on the halo."""
+        from graphax.kernels.pallas_windows import densify_windows
+
+        win_wb = jnp.where(tbl["wbt_slot_mask"],
+                           wv[tbl["wbt_edge_slot"]], 0)
+        dense = densify_windows(win_wb, _win_view(tbl), vma=win_vma,
+                                use_pallas=win_pallas)
+        loc = tbl["wbt_loc_tile"]
+        dense_loc = dense * loc[:, None, None].astype(dense.dtype)
+        dense_hal = dense * (~loc)[:, None, None].astype(dense.dtype)
+        tw_loc = jnp.where(loc, tbl["wbt_tile_win"], 0)
+        return dense_loc, dense_hal, tw_loc, wv
+
+    @jax.custom_vjp
+    def _win_res_cv(vals, x_ext, tbl):
+        """Residual (out-of-window) edges: the `_spmm_cv` overlap pair on
+        the wr_(owned cols)/wh_(halo buffer) tile sets; backward dx_ext =
+        one tiled SpMM on the wrT_ transpose layout (scatter-free)."""
+        out = (_tiled_one(vals, x_ext[:nb], tbl, "wr_")
+               + _tiled_one(vals, x_ext[nb:], tbl, "wh_"))
+        return out.astype(x_ext.dtype)
+
+    def _win_res_fwd(vals, x_ext, tbl):
+        return _win_res_cv(vals, x_ext, tbl), (vals, x_ext, tbl)
+
+    def _win_res_bwd(res, g):
+        vals, x_ext, tbl = res
+        gf = g.astype(x_ext.dtype)
+        dxe = _tiled_one(vals, gf, tbl, "wrT_")              # [ext, D]
+        # dw per ORIGINAL slot via the full per-edge tables (no scatter),
+        # masked to the residual (out-of-window) slots — in-window slots'
+        # cotangent arrives through the densify custom-vjp instead
+        ge = gf[tbl["local_row"]].astype(jnp.float32)
+        xe = x_ext[tbl["local_col"]].astype(jnp.float32)
+        dw = jnp.where(tbl["wbt_res_mask"],
+                       jnp.sum(ge * xe, axis=-1), 0.0)
+        dtbl = jax.tree_util.tree_map(_zero_ct, tbl)
+        return dw.astype(vals.dtype), dxe.astype(x_ext.dtype), dtbl
+
+    _win_res_cv.defvjp(_win_res_fwd, _win_res_bwd)
+
+    def _win_spmm(prep_win, z, tbl):
+        """Per-NFE windowed ``A @ x``: halo-independent window matmuls +
+        owned-col residual overlap the all_to_all; halo windows + halo
+        residual run on the exchanged state."""
+        from graphax.kernels.pallas_windows import win_matmul
+
+        dense_loc, dense_hal, tw_loc, wv = prep_win
+        wc = win_consts
+        d = z.shape[-1]
+        send_buf = z[tbl["send_idx"].reshape(-1)].reshape(p_sh, hp, d)
+        recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        out = win_matmul(
+            dense_loc, z, tw_loc, num_tiles=wc["num_tiles"],
+            tile=wc["tile"], window=wc["window"],
+            num_windows=wc["num_windows_loc"], num_nodes=nb,
+            vma=win_vma, use_pallas=win_pallas)
+        halo = recv.reshape(p_sh * hp, d)[tbl["halo_gather"]]
+        x_ext = jnp.concatenate([z, halo], axis=0)
+        out = out + win_matmul(
+            dense_hal, x_ext, tbl["wbt_tile_win"],
+            num_tiles=wc["num_tiles"], tile=wc["tile"],
+            window=wc["window"], num_windows=wc["num_windows"],
+            num_nodes=nb, num_src=ext, vma=win_vma,
+            use_pallas=win_pallas)
+        out = out + _win_res_cv(wv, x_ext, tbl)
+        return out.astype(z.dtype)
 
     def _hub_spmm(z, tbl):
         """Per-NFE hub-slab + reduced-halo-remainder SpMM (sharded twin
@@ -639,11 +745,7 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             z_full = z_full.reshape(p_sh * nb, z.shape[-1])
             ax = diff["vals"]["dense"].astype(z.dtype) @ z_full
         elif isinstance(diff["vals"], dict) and "win" in diff["vals"]:
-            from graphax.dist.sharded import windowed_run_local
-
-            dense, rv = diff["vals"]["win"]
-            ax = windowed_run_local(z, dense, rv, _win_t(tbl), win_consts,
-                                    p_sh, hp, axis_name)
+            ax = _win_spmm(diff["vals"]["win"], z, tbl)
         elif cfg.function == "laplacian" and hub_mode:
             ax = _hub_spmm(z, tbl)
         elif cfg.function == "laplacian":
@@ -826,11 +928,8 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             # densify the (pinned or static) edge values into the window
             # operator blocks ONCE per forward — the per-NFE cost is then
             # the block-dense matmuls, not per-edge gathers
-            from graphax.dist.sharded import windowed_prepare_local
-
             wv = vals if vals is not None else tbl["edge_weight"]
-            vals = {"win": windowed_prepare_local(
-                wv.astype(x0.dtype), _win_t(tbl), win_consts)}
+            vals = {"win": _win_prepare(wv.astype(x0.dtype), tbl)}
         z0 = jax.lax.stop_gradient(x0)
 
         reg_names = tuple(n for n, _ in cfg.reg_coeffs()) if train else ()

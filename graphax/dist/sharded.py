@@ -698,3 +698,124 @@ def sharded_spmm_hub(mesh: Mesh, part: EdgePartition,
     f.halo_before = part.halo_size
     f.halo_after = part_rest.halo_size
     return f
+
+
+def shard_window_blocks(part: EdgePartition, window: int = 512,
+                        tile: int = 128, block_edges: int = 2048):
+    """Host: per-shard BLOCKED windowed layout for the Pallas sharded
+    windowed local compute (r4.2, graphax.dist.model ``local_tiles=
+    "windowed"``).
+
+    Window selection is `shard_window_tables`'s: each ``tile``-row group of
+    the owned block picks the aligned ``window``-wide column range over the
+    EXTENDED local space ``[0, Nb+H)`` (owned rows then halo slots) covering
+    the most edges. This builder then produces what the single-chip Pallas
+    kernels consume:
+
+    - in-window edges chunked into ``[Bw, Eb]`` blocks (consecutive blocks
+      per row tile) with window-local columns — `pallas_windows`
+      ``densify_windows`` + ``win_matmul``;
+    - a per-tile locality flag (window entirely within the owned block) so
+      the per-NFE matmul splits into a halo-independent pass that overlaps
+      the all_to_all and a halo pass;
+    - residual (out-of-window) edges split owned-col / halo-col as TWO
+      RowTiles sets (the `_spmm_cv` overlap pair) plus ONE transpose
+      layout over the extended col space covering exactly the residual
+      subset — the custom-VJP backward's scatter-free dx_ext.
+
+    Returns (tables dict of stacked ``[P, ...]`` arrays, consts dict).
+    """
+    import numpy as np
+
+    from graphax.dist.partition import shard_row_tiles_from
+
+    p, nb = part.num_shards, part.block_size
+    ext = nb + part.halo_size
+    t = (nb + tile - 1) // tile
+    nw = (ext + window - 1) // window
+    nwl = (nb + window - 1) // window
+
+    per_blocks = []
+    tile_win = np.zeros((p, t), np.int32)
+    loc_tile = np.zeros((p, t), bool)
+    r_loc, c_loc, s_loc = [], [], []          # residual, owned cols
+    r_hal, c_hal, s_hal = [], [], []          # residual, halo cols (buffer-rel)
+    rows_t, cols_t, slots_t = [], [], []      # transpose over ext
+    max_blocks = 1
+    for s in range(p):
+        m = np.asarray(part.edge_mask[s])
+        lr = np.asarray(part.local_row[s]).astype(np.int64)
+        lc = np.asarray(part.local_col[s]).astype(np.int64)
+        te, we = lr // tile, lc // window
+        counts = np.bincount(te[m] * nw + we[m],
+                             minlength=t * nw).reshape(t, nw)
+        best = counts.argmax(axis=1)
+        tile_win[s] = best.astype(np.int32)
+        loc_tile[s] = (best + 1) * window <= nb
+        iw = m & (we == best[te])
+
+        idx = np.where(iw)[0]
+        order = np.lexsort((lc[idx], lr[idx]))
+        idx = idx[order]
+        # chunk per row tile into blocks of block_edges
+        blocks = []        # (tile_idx, slots)
+        tiles_of = te[idx]
+        start = 0
+        for ti in range(t):
+            k = int(np.searchsorted(tiles_of, ti + 1, side="left"))
+            for b0 in range(start, k, block_edges):
+                blocks.append((ti, idx[b0:min(b0 + block_edges, k)]))
+            start = k
+        per_blocks.append((blocks, lr, lc, best))
+        max_blocks = max(max_blocks, len(blocks))
+
+        res = np.where(m & ~iw)[0]
+        own = lc[res] < nb
+        r_loc.append(lr[res[own]])
+        c_loc.append(lc[res[own]])
+        s_loc.append(res[own])
+        r_hal.append(lr[res[~own]])
+        c_hal.append(lc[res[~own]] - nb)
+        s_hal.append(res[~own])
+        rows_t.append(lc[res])
+        cols_t.append(lr[res])
+        slots_t.append(res)
+
+    eb = block_edges
+    edge_slot = np.zeros((p, max_blocks, eb), np.int32)
+    slot_mask = np.zeros((p, max_blocks, eb), bool)
+    lcol_b = np.full((p, max_blocks, eb), window, np.int32)
+    lrow_b = np.full((p, max_blocks, eb), tile, np.int32)
+    tidx_b = np.zeros((p, max_blocks), np.int32)
+    for s in range(p):
+        blocks, lr, lc, best = per_blocks[s]
+        last_ti = 0
+        for bi, (ti, sl) in enumerate(blocks):
+            k = len(sl)
+            edge_slot[s, bi, :k] = sl
+            slot_mask[s, bi, :k] = True
+            lcol_b[s, bi, :k] = lc[sl] - best[ti] * window
+            lrow_b[s, bi, :k] = lr[sl] - ti * tile
+            tidx_b[s, bi] = ti
+            last_ti = ti
+        # pad blocks carry the LAST real tile id: first_flags stays 0 so
+        # the revisited-output kernels accumulate zeros instead of
+        # re-initializing an earlier tile's block
+        tidx_b[s, len(blocks):] = last_ti
+
+    es = part.local_row.shape[1]
+    res_mask = np.zeros((p, es), bool)
+    for s in range(p):
+        res_mask[s, np.concatenate([s_loc[s], s_hal[s]]).astype(np.int64)] \
+            = True
+    tables = dict(
+        wbt_edge_slot=edge_slot, wbt_slot_mask=slot_mask,
+        wbt_lcol=lcol_b, wbt_lrow=lrow_b, wbt_tile_idx=tidx_b,
+        wbt_tile_win=tile_win, wbt_loc_tile=loc_tile,
+        wbt_res_mask=res_mask)
+    res_loc = shard_row_tiles_from(r_loc, c_loc, s_loc, nb, tile=tile)
+    res_hal = shard_row_tiles_from(r_hal, c_hal, s_hal, nb, tile=tile)
+    res_t = shard_row_tiles_from(rows_t, cols_t, slots_t, ext, tile=tile)
+    consts = dict(window=window, tile=tile, num_tiles=t, num_windows=nw,
+                  num_windows_loc=nwl, block_edges=eb, nb=nb, ext=ext)
+    return tables, dict(wr_=res_loc, wh_=res_hal, wrT_=res_t), consts

@@ -96,7 +96,16 @@ def _spmm_kernel(tidx_ref, first_ref, xg_ref, w_ref, lrow_ref, o_ref):
         o_ref[0] += partial
 
 
-def _spmm_call(xg, wb, local_row, tile_idx, num_tiles: int, tile: int):
+def _sds(shape, dtype, vma=None):
+    """ShapeDtypeStruct carrying the shard_map varying-axes set (strict vma
+    checking requires pallas out_shapes to state it)."""
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _spmm_call(xg, wb, local_row, tile_idx, num_tiles: int, tile: int,
+               vma=None):
     """[B, Eb, D] gathered sources × [B, Eb] values → [T, tile, D] f32."""
     b, eb, d = xg.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -112,9 +121,26 @@ def _spmm_call(xg, wb, local_row, tile_idx, num_tiles: int, tile: int):
     return pl.pallas_call(
         _spmm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, tile, d), jnp.float32),
+        out_shape=_sds((num_tiles, tile, d), jnp.float32, vma=vma),
         interpret=_interpret(),
     )(tile_idx, first_flags(tile_idx), xg, wb[:, None], local_row[:, None])
+
+
+def spmm_tiles_pallas(vals, x, tiles, vma=None):
+    """One Pallas tiled SpMM over a RowTiles set with PER-CALL blocking of
+    the [cap] value vector (``wb = vals[edge_slot]``) — the sharded model's
+    per-shard local compute (graphax.dist.model `_spmm_cv`), where values
+    are pinned per forward and the custom VJP lives at the caller. Returns
+    [num_nodes, D] in x.dtype; primal only (differentiate at the caller)."""
+    wb = jnp.where(tiles.slot_mask, vals[tiles.edge_slot], 0) \
+        .astype(jnp.float32)
+    xg = x[tiles.col]
+    out = _spmm_call(xg, wb, tiles.local_row, tiles.tile_idx,
+                     tiles.num_tiles, tiles.tile, vma=vma)
+    present = presence_scale(tiles.tile_idx, tiles.num_tiles) > 0
+    out = jnp.where(present[:, None, None], out, 0.0)
+    # f32 partials — callers summing halves cast at the end
+    return out.reshape(tiles.num_tiles * tiles.tile, -1)[:tiles.num_nodes]
 
 
 def _sddmm_kernel(tidx_ref, g_ref, xg_ref, lrow_ref, o_ref):

@@ -46,6 +46,14 @@ from graphax.kernels.pallas_tiled import (
 from graphax.kernels.windows import WindowTiles
 
 
+def _sds(shape, dtype, vma=None):
+    """ShapeDtypeStruct carrying the shard_map varying-axes set (strict vma
+    checking requires pallas out_shapes to state it)."""
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _densify_kernel(tidx_ref, first_ref, wb_ref, lcol_ref, lrow_ref, o_ref):
     """One block of in-window edges → += into its tile's [tile, W] dense
     operator block (output revisited across the tile's blocks)."""
@@ -64,11 +72,13 @@ def _densify_kernel(tidx_ref, first_ref, wb_ref, lcol_ref, lrow_ref, o_ref):
     # reshape [Eb] -> [Eb, 1] in f32, cast after the broadcast
     v32 = vals.astype(jnp.float32)[:, None]
     for c in range(0, w, tile):
+        cw = min(tile, w - c)       # last chunk may be partial (w < tile
+        #                             in small-window test configs)
         # w_oh[e, j] = w_e · 1[lcol_e == c + j]; padded slots (lcol == W)
         # match nothing → zero columns
         w_oh = jnp.where(
             lcol[:, None] - c
-            == jax.lax.broadcasted_iota(jnp.int32, (eb, tile), 1),
+            == jax.lax.broadcasted_iota(jnp.int32, (eb, cw), 1),
             v32, 0.0).astype(dtype)
         partial = jax.lax.dot_general(
             oh_r, w_oh, (((1,), (0,)), ((), ())),
@@ -76,15 +86,15 @@ def _densify_kernel(tidx_ref, first_ref, wb_ref, lcol_ref, lrow_ref, o_ref):
 
         @pl.when(first_ref[b] == 1)
         def _init():
-            o_ref[0, :, c:c + tile] = partial
+            o_ref[0, :, c:c + cw] = partial
 
         @pl.when(first_ref[b] == 0)
         def _acc():
-            o_ref[0, :, c:c + tile] += partial
+            o_ref[0, :, c:c + cw] += partial
 
 
 def _densify_call(wb, lcol, lrow, tile_idx, num_tiles: int, tile: int,
-                  window: int):
+                  window: int, vma=None):
     b, eb = wb.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -99,18 +109,37 @@ def _densify_call(wb, lcol, lrow, tile_idx, num_tiles: int, tile: int,
     return pl.pallas_call(
         _densify_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, tile, window), wb.dtype),
+        out_shape=_sds((num_tiles, tile, window), wb.dtype, vma=vma),
         interpret=_interpret(),
     )(tile_idx, first_flags(tile_idx), wb[:, None], lcol[:, None],
       lrow[:, None])
 
 
+def _densify_xla(wb, lcol, lrow, tile_idx, num_tiles: int, tile: int,
+                 window: int):
+    """jnp twin of the densify kernel — CPU-mesh tests run this (pallas
+    interpret mode cannot run under strict-vma shard_map). One scatter per
+    FORWARD, not per NFE."""
+    valid = (lrow < tile) & (lcol < window)
+    flat = (tile_idx[:, None] * (tile * window)
+            + jnp.minimum(lrow, tile - 1) * window
+            + jnp.minimum(lcol, window - 1))
+    size = num_tiles * tile * window
+    flat = jnp.where(valid, flat, size)        # OOB sentinel slot dropped
+    dense = jnp.zeros((size + 1,), wb.dtype) \
+        .at[flat.reshape(-1)].add(jnp.where(valid, wb, 0).reshape(-1))
+    return dense[:size].reshape(num_tiles, tile, window)
+
+
 @functools.lru_cache(maxsize=None)
-def _make_densify(num_tiles, tile, window):
+def _make_densify(num_tiles, tile, window, vma=None, use_pallas=True):
 
     def _primal(win_wb, lcol, lrow, tile_idx, present):
+        if not use_pallas:
+            return _densify_xla(win_wb, lcol, lrow, tile_idx, num_tiles,
+                                tile, window)
         out = _densify_call(win_wb, lcol, lrow, tile_idx, num_tiles, tile,
-                            window)
+                            window, vma=vma)
         # never-visited tiles hold uninitialized memory — select, not scale
         return jnp.where(present[:, None, None], out, 0)
 
@@ -136,10 +165,13 @@ def _make_densify(num_tiles, tile, window):
     return f
 
 
-def densify_windows(win_wb, wt: WindowTiles):
+def densify_windows(win_wb, wt: WindowTiles, vma=None, use_pallas=True):
     """Blocked in-window edge values → dense [T, tile, W] operator blocks
-    (differentiable; run ONCE per forward, not per solver evaluation)."""
-    f = _make_densify(wt.num_tiles, wt.tile, wt.window)
+    (differentiable; run ONCE per forward, not per solver evaluation).
+    ``vma``/``use_pallas``: shard_map plumbing — varying mesh axes for the
+    Pallas out_shapes, and the jnp twin for CPU meshes."""
+    f = _make_densify(wt.num_tiles, wt.tile, wt.window, vma=vma,
+                      use_pallas=use_pallas)
     t = jnp.zeros(wt.num_tiles, jnp.int32).at[wt.tile_idx].add(1)
     present = t > 0
     return f(win_wb, wt.lcol, wt.local_row, wt.tile_idx, present)
@@ -159,7 +191,7 @@ def _win_matmul_kernel(winid_ref, dense_ref, slab_ref, o_ref):
         preferred_element_type=jnp.float32)
 
 
-def _win_matmul_call(dense, slab, tile_win):
+def _win_matmul_call(dense, slab, tile_win, vma=None):
     t, tile, w = dense.shape
     wn, _, d = slab.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -174,17 +206,29 @@ def _win_matmul_call(dense, slab, tile_win):
     return pl.pallas_call(
         _win_matmul_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, tile, d), jnp.float32),
+        out_shape=_sds((t, tile, d), jnp.float32, vma=vma),
         interpret=_interpret(),
     )(tile_win, dense, slab)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_win_matmul(num_tiles, tile, window, num_windows, num_nodes):
+def _make_win_matmul(num_tiles, tile, window, num_windows, num_nodes,
+                     vma=None, use_pallas=True, num_src=None):
+    """``num_src``: rows of the gather source ``x`` (the slab) when it
+    differs from the output row count ``num_nodes`` — the sharded model's
+    halo-window call reads the halo-extended state but emits owned rows."""
+    if num_src is None:
+        num_src = num_nodes
 
     def _primal(dense, x, tile_win):
         slab = _slab(x, num_windows, window)
-        out = _win_matmul_call(dense, slab, tile_win)
+        if not use_pallas:
+            # jnp twin (CPU meshes): same math, [T, W, D] take materialized
+            out = jnp.einsum("trw,twd->trd", dense.astype(x.dtype),
+                             jnp.take(slab, tile_win, axis=0),
+                             preferred_element_type=jnp.float32)
+        else:
+            out = _win_matmul_call(dense, slab, tile_win, vma=vma)
         return out.reshape(num_tiles * tile, -1)[:num_nodes]
 
     @jax.custom_vjp
@@ -207,7 +251,7 @@ def _make_win_matmul(num_tiles, tile, window, num_windows, num_nodes):
                                 preferred_element_type=jnp.float32)
         d_slab = jax.ops.segment_sum(d_per_tile, tile_win,
                                      num_segments=num_windows)
-        dx = d_slab.reshape(num_windows * window, -1)[:num_nodes] \
+        dx = d_slab.reshape(num_windows * window, -1)[:num_src] \
             .astype(x.dtype)
         return d_dense, dx, _f0(tile_win)
 
@@ -249,3 +293,15 @@ def pallas_windowed_ok(graph, x) -> bool:
     return (graph.strategy == "windowed" and graph.windows is not None
             and x.ndim == 2
             and (jax.default_backend() == "tpu" or FORCE))
+
+
+def win_matmul(dense, x, tile_win, *, num_tiles, tile, window, num_windows,
+               num_nodes, num_src=None, vma=None, use_pallas=True):
+    """Just the in-window half of :func:`spmm_windowed` (custom-vjp batched
+    MXU matmuls over the dense blocks), exposed for callers that route the
+    residual separately — the sharded model runs the residual + halo on its
+    own overlap-split tiled path (graphax.dist.model). Returns [num_nodes,
+    D] f32; ``x`` may have ``num_src`` rows (halo-extended)."""
+    f = _make_win_matmul(num_tiles, tile, window, num_windows, num_nodes,
+                         vma=vma, use_pallas=use_pallas, num_src=num_src)
+    return f(dense, x, tile_win)
