@@ -35,9 +35,22 @@ def make_attention_block(cfg, in_dim: int) -> ODEBlock:
 
     def forward(params, graph, x, *, train: bool, y=None, t1=None,
                 observer=None, max_steps=None) -> BlockOutput:
+        from graphax.functions.transformer import attention_edge_means
+
         g = normalize_graph(cfg, graph)
-        att = attention_weights(params, g, x)        # [E, H]
-        fstate = make_fstate(g, x, attention=att.mean(axis=1), y=y,
+        # The pinned value only drives the solve for the laplacian RHS;
+        # transformer/GAT recompute attention per NFE and ignore it — in
+        # the reference that pin is dead compute (`AttODEblock` always
+        # fills `attention_weights` but `ODEFuncTransformerAtt` never
+        # reads it), and at arxiv scale it costs more than the solve, so
+        # skip it. When used: streaming-kernel pin on eval forwards
+        # (train keeps the differentiable XLA apply — gradients flow
+        # through the pinned operator into the block's attention layer).
+        mean_att = None
+        if cfg.function == "laplacian":
+            mean_att = attention_edge_means(params["att_layer"], cfg, g, x,
+                                            differentiable=train, y=y)
+        fstate = make_fstate(g, x, attention=mean_att, y=y,
                              train=train)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)

@@ -65,6 +65,21 @@ def make_hard_attention_block(cfg, in_dim: int) -> ODEBlock:
                                        FuncState(graph=graph), x)
         return att
 
+    def mean_attention(params, graph, x):
+        """Head-mean per edge. The whole selection is no_grad in the
+        reference, so the non-differentiable streaming-kernel pin applies
+        on both train and eval forwards (functions.transformer
+        .attention_edge_means)."""
+        from graphax.functions.transformer import attention_edge_means
+
+        if own_layer:
+            return attention_edge_means(params["att_layer"], cfg, graph, x,
+                                        differentiable=False)
+        if cfg.function == "transformer":
+            return attention_edge_means(params["func"]["att"], cfg, graph,
+                                        x, differentiable=False)
+        return attention_weights(params, graph, x).mean(axis=1)
+
     def renormalise(graph, att, keep_mask):
         index = graph.row if cfg.attention_norm_idx == 0 else graph.col
         kept = jnp.where(keep_mask, att, 0.0)
@@ -74,8 +89,7 @@ def make_hard_attention_block(cfg, in_dim: int) -> ODEBlock:
     def forward(params, graph, x, *, train: bool, y=None, t1=None,
                 observer=None, max_steps=None) -> BlockOutput:
         g = normalize_graph(cfg, graph)
-        att = attention_weights(params, g, x)          # [E, H]
-        mean_att = att.mean(axis=1)
+        mean_att = mean_attention(params, g, x)        # [E]
         if train:
             mean_att = jax.lax.stop_gradient(mean_att)  # `with torch.no_grad()`
             if cfg.use_flux:

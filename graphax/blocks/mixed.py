@@ -27,17 +27,23 @@ def make_mixed_block(cfg, in_dim: int) -> ODEBlock:
                 "att_layer": transformer_attention_init(k2, cfg, in_dim),
                 "gamma": jnp.zeros(())}
 
-    def mixed_attention(params, graph, x):
+    def mixed_attention(params, graph, x, differentiable: bool = True):
+        from graphax.functions.transformer import attention_edge_means
+
         gamma = jax.nn.sigmoid(params["gamma"])
-        att, _ = transformer_attention_apply(params["att_layer"], cfg, graph, x)
-        return att.mean(axis=1) * (1 - gamma) + graph.edge_weight * gamma
+        mean = attention_edge_means(params["att_layer"], cfg, graph, x,
+                                    differentiable=differentiable)
+        return mean * (1 - gamma) + graph.edge_weight * gamma
 
     def forward(params, graph, x, *, train: bool, y=None, t1=None,
                 observer=None, max_steps=None) -> BlockOutput:
         g = normalize_graph(cfg, graph)
-        fstate = make_fstate(g, x, attention=mixed_attention(params, g, x),
-                             train=train,
-                             y=y)
+        # pinned mix only drives the laplacian RHS; transformer/GAT
+        # recompute per NFE and ignore it (dead compute in the reference —
+        # see blocks/attention.py)
+        att = mixed_attention(params, g, x, differentiable=train) \
+            if cfg.function == "laplacian" else None
+        fstate = make_fstate(g, x, attention=att, train=train, y=y)
         return integrate(cfg_noreg, func, params["func"], fstate, x,
                          train=train, t1=t1, observer=observer,
                          max_steps=max_steps)

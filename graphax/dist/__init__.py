@@ -30,6 +30,10 @@ from graphax.dist.sharded_attention import (
 from graphax.dist.train_step import make_sharded_grand_trainer
 from graphax.dist.model import make_sharded_gnn, normalized_partition
 from graphax.dist.trainer import DistTrainer
+from graphax.dist.multihost import (
+    init_distributed, global_mesh, process_shard_ids, feed_process_local,
+    dcn_block_order,
+)
 
 __all__ = [
     "make_mesh", "local_mesh", "EdgePartition", "partition_graph",
@@ -38,4 +42,6 @@ __all__ = [
     "make_sharded_attention_rhs", "distributed_masked_quantile",
     "sharded_knn_candidates", "make_sharded_grand_trainer",
     "make_sharded_gnn", "normalized_partition", "DistTrainer",
+    "init_distributed", "global_mesh", "process_shard_ids",
+    "feed_process_local", "dcn_block_order",
 ]

@@ -75,6 +75,8 @@ class ShardedGNN(NamedTuple):
     eval_early: Any    # same args -> dict(best_* , nfe)
     forward_logits: Any  # (params, state, xs) -> [P, Nb, C]  (eval mode)
     state_dim: int
+    internals: Any = None  # closures + tables for component profiling
+                           # (scripts/profile_shard_gap.py) — not API
 
 
 def _check_supported(cfg):
@@ -135,17 +137,6 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
 
     from graphax.dist.sharded import halo_split_tables
 
-    split = halo_split_tables(part)
-    tables = dict(
-        local_row=jnp.asarray(part.local_row),
-        local_col=jnp.asarray(part.local_col),
-        edge_weight=jnp.asarray(part.edge_weight * part.edge_mask),
-        edge_mask=jnp.asarray(part.edge_mask),
-        send_idx=jnp.asarray(part.send_idx),
-        halo_gather=jnp.asarray(part.halo_gather),
-        node_mask=jnp.asarray(part.node_mask),
-        **{k: jnp.asarray(v) for k, v in split.items()},
-    )
     # local-compute mode: "auto" -> row-tiled MXU when the shard block
     # spans at least one 128-row tile; "windowed" adds the block-dense
     # window strategy for the laplacian per-NFE SpMM (community-ordered
@@ -171,132 +162,194 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             "(constant block + laplacian)"
     tile_tpls = {}
     win_consts = hub_consts = None
-    if local_tiles:
-        from graphax.dist.partition import (
-            shard_row_tiles, shard_row_tiles_subset,
+
+    def _build_tables(part_b: EdgePartition) -> dict:
+        """Every static device table for ``part_b``. Called at build time
+        and again at epoch-boundary rewiring (DistTrainer.rewire_knn):
+        tables are jit ARGUMENTS, so when ``part_b`` carries the same cap
+        shapes as the original partition (grow it with
+        `graphax.dist.partition.pad_partition`), swapping the result in via
+        ``internals['set_tables']`` re-enters the already-compiled step —
+        warm jit caches across topology changes (SURVEY §7.3 hard part 5)."""
+        nonlocal win_consts, hub_consts
+        assert part_b.num_shards == p_sh and part_b.block_size == nb, \
+            "table rebuild must preserve the shard/block geometry"
+        split = halo_split_tables(part_b)
+        tables = dict(
+            local_row=jnp.asarray(part_b.local_row),
+            local_col=jnp.asarray(part_b.local_col),
+            edge_weight=jnp.asarray(part_b.edge_weight * part_b.edge_mask),
+            edge_mask=jnp.asarray(part_b.edge_mask),
+            send_idx=jnp.asarray(part_b.send_idx),
+            halo_gather=jnp.asarray(part_b.halo_gather),
+            node_mask=jnp.asarray(part_b.node_mask),
+            **{k: jnp.asarray(v) for k, v in split.items()},
         )
+        if local_tiles:
+            from graphax.dist.partition import (
+                shard_row_tiles, shard_row_tiles_from,
+                shard_row_tiles_subset,
+            )
 
-        # four tile sets: full extended-col edges (transformer/GAT _spmm
-        # over x_ext), the overlap split pair (laplacian _spmm_overlap),
-        # and a TRANSPOSE layout over the extended col space — the
-        # custom-VJP backward's dx_ext runs as a tiled SpMM on it instead
-        # of the E-sized scatter autodiff would emit for the gather
-        from graphax.dist.partition import shard_row_tiles_from
+            # four tile sets: full extended-col edges (transformer/GAT
+            # _spmm over x_ext), the overlap split pair (laplacian
+            # _spmm_overlap), and a TRANSPOSE layout over the extended col
+            # space — the custom-VJP backward's dx_ext runs as a tiled SpMM
+            # on it instead of the E-sized scatter autodiff would emit
+            rows_t, cols_t, slots_t = [], [], []
+            for s in range(p_sh):
+                m = part_b.edge_mask[s]
+                rows_t.append(part_b.local_col[s][m])   # out: extended cols
+                cols_t.append(part_b.local_row[s][m])   # gather: owned rows
+                slots_t.append(np.where(m)[0])
 
-        rows_t, cols_t, slots_t = [], [], []
-        for s in range(p_sh):
-            m = part.edge_mask[s]
-            rows_t.append(part.local_col[s][m])     # out: extended cols
-            cols_t.append(part.local_row[s][m])     # gather: owned rows
-            slots_t.append(np.where(m)[0])
-        tset = {
-            "rt_": shard_row_tiles(part),
-            "lt_": shard_row_tiles_subset(
-                part, split["loc_slot"], split["loc_mask"],
-                split["loc_row"], split["loc_col"]),
-            "ht_": shard_row_tiles_subset(
-                part, split["halo_slot"], split["halo_mask"],
-                split["halo_row"], split["halo_col"]),
-            "rtT_": shard_row_tiles_from(rows_t, cols_t, slots_t, ext),
-        }
-        for pfx, t in tset.items():
-            for f in ("edge_slot", "slot_mask", "col", "local_row",
-                      "tile_idx"):
-                tables[pfx + f] = getattr(t, f)
-            tile_tpls[pfx] = dataclasses.replace(
-                t, edge_slot=t.edge_slot[0], slot_mask=t.slot_mask[0],
-                col=t.col[0], local_row=t.local_row[0],
-                tile_idx=t.tile_idx[0])
-        # slot permutation row-layout -> transpose-layout per shard: its
-        # presence on the rtT_ RowTiles enables the streaming-Pallas
-        # attention BACKWARD (graphax.kernels.pallas_attention B1/B2/B3)
-        # inside the sharded per-NFE transformer RHS
-        es_r = np.asarray(tset["rt_"].edge_slot)
-        m_r = np.asarray(tset["rt_"].slot_mask)
-        es_t = np.asarray(tset["rtT_"].edge_slot)
-        m_t = np.asarray(tset["rtT_"].slot_mask)
-        es_cap = int(part.local_row.shape[1])
-        perms = []
-        for s in range(p_sh):
-            inv = np.zeros(max(es_cap, 1), np.int64)
-            fr, fm = es_r[s].reshape(-1), m_r[s].reshape(-1)
-            inv[fr[fm]] = np.nonzero(fm)[0]
-            ft, fmt = es_t[s].reshape(-1), m_t[s].reshape(-1)
-            perms.append(np.where(fmt, inv[ft], 0).astype(np.int32))
-        tables["rtT_perm"] = jnp.asarray(np.stack(perms))
+            def _pin(pfx):
+                # pin static tile shapes across rebuilds so the rebuilt
+                # tables hit the same jit cache entries
+                t = tile_tpls.get(pfx)
+                if t is None:
+                    return {}
+                return dict(block_edges=t.block_edges,
+                            min_blocks=int(t.tile_idx.shape[0]))
 
-    if win_mode:
-        # r4.2: the Pallas windowed local compute — blocked in-window
-        # layout (densify once per forward, per-NFE batched MXU matmuls
-        # split into a halo-independent pass that overlaps the all_to_all
-        # and a halo pass) + the residual on an owned/halo `_spmm_cv`-style
-        # pair with a scatter-free transpose backward. CPU meshes drive
-        # the jnp twins of the same kernels on the same tables.
-        from graphax.dist.sharded import shard_window_blocks
+            ext_b = nb + part_b.halo_size
+            tset = {
+                "rt_": shard_row_tiles(part_b, **_pin("rt_")),
+                "lt_": shard_row_tiles_subset(
+                    part_b, split["loc_slot"], split["loc_mask"],
+                    split["loc_row"], split["loc_col"], **_pin("lt_")),
+                "ht_": shard_row_tiles_subset(
+                    part_b, split["halo_slot"], split["halo_mask"],
+                    split["halo_row"], split["halo_col"], **_pin("ht_")),
+                "rtT_": shard_row_tiles_from(rows_t, cols_t, slots_t,
+                                             ext_b, **_pin("rtT_")),
+            }
+            for pfx, t in tset.items():
+                for f in ("edge_slot", "slot_mask", "col", "local_row",
+                          "tile_idx"):
+                    tables[pfx + f] = getattr(t, f)
+                tile_tpls[pfx] = dataclasses.replace(
+                    t, edge_slot=t.edge_slot[0], slot_mask=t.slot_mask[0],
+                    col=t.col[0], local_row=t.local_row[0],
+                    tile_idx=t.tile_idx[0])
+            # slot permutation row-layout -> transpose-layout per shard: its
+            # presence on the rtT_ RowTiles enables the streaming-Pallas
+            # attention BACKWARD (graphax.kernels.pallas_attention B1/B2/B3)
+            # inside the sharded per-NFE transformer RHS
+            es_r = np.asarray(tset["rt_"].edge_slot)
+            m_r = np.asarray(tset["rt_"].slot_mask)
+            es_t = np.asarray(tset["rtT_"].edge_slot)
+            m_t = np.asarray(tset["rtT_"].slot_mask)
+            es_cap = int(part_b.local_row.shape[1])
+            perms = []
+            for s in range(p_sh):
+                inv = np.zeros(max(es_cap, 1), np.int64)
+                fr, fm = es_r[s].reshape(-1), m_r[s].reshape(-1)
+                inv[fr[fm]] = np.nonzero(fm)[0]
+                ft, fmt = es_t[s].reshape(-1), m_t[s].reshape(-1)
+                perms.append(np.where(fmt, inv[ft], 0).astype(np.int32))
+            tables["rtT_perm"] = jnp.asarray(np.stack(perms))
 
-        wblk_tables, wblk_tiles, win_consts = shard_window_blocks(
-            part, window=window)
-        for k, v in wblk_tables.items():
-            tables[k] = jnp.asarray(v)
-        for pfx, tt in wblk_tiles.items():      # same storing as tset above
-            for fld in ("edge_slot", "slot_mask", "col", "local_row",
-                        "tile_idx"):
-                tables[pfx + fld] = getattr(tt, fld)
-            tile_tpls[pfx] = dataclasses.replace(
-                tt, edge_slot=tt.edge_slot[0], slot_mask=tt.slot_mask[0],
-                col=tt.col[0], local_row=tt.local_row[0],
-                tile_idx=tt.tile_idx[0])
-    if hub_mode:
-        from graphax.dist.partition import partition_graph
-        from graphax.dist.sharded import (
-            _relabeled_edges, halo_split_tables,
-        )
-        from graphax.sparse.graph import Graph as _Graph
+        if win_mode:
+            # r4.2: the Pallas windowed local compute — blocked in-window
+            # layout (densify once per forward, per-NFE batched MXU matmuls
+            # split into a halo-independent pass that overlaps the
+            # all_to_all and a halo pass) + the residual on an owned/halo
+            # `_spmm_cv`-style pair with a scatter-free transpose backward.
+            # CPU meshes drive the jnp twins of the same kernels.
+            from graphax.dist.sharded import shard_window_blocks
 
-        row_rel, col_rel, w_rel = _relabeled_edges(part)
-        n_rel = p_sh * nb
-        indeg = np.bincount(col_rel, minlength=n_rel)
-        order = np.argsort(indeg)[::-1]
-        h_cand = [h for h in hub_candidates if h <= n_rel]
-        assert h_cand, f"no hub candidate <= {n_rel} nodes"
-        hub_h = h_cand[-1]
-        hub_ids = np.sort(order[:hub_h])
-        rank = np.full(n_rel, -1, np.int64)
-        rank[hub_ids] = np.arange(hub_h)
-        is_hub = rank[col_rel] >= 0
-        tile_h = 8
-        t_h = (nb + tile_h - 1) // tile_h
-        nbp_h = t_h * tile_h
-        dense_hub = np.zeros((p_sh, nbp_h, hub_h), np.float32)
-        sh_ = row_rel[is_hub] // nb
-        np.add.at(dense_hub, (sh_, row_rel[is_hub] % nb,
-                              rank[col_rel[is_hub]]), w_rel[is_hub])
-        own_counts = np.bincount(hub_ids // nb, minlength=p_sh)
-        ho = max(int(own_counts.max()), 1)
-        own_slot = np.zeros((p_sh, ho), np.int32)
-        own_rank = np.zeros((p_sh, ho), np.int32)
-        own_mask = np.zeros((p_sh, ho), bool)
-        for s in range(p_sh):
-            mine = hub_ids[(hub_ids // nb) == s]
-            own_slot[s, :len(mine)] = mine % nb
-            own_rank[s, :len(mine)] = rank[mine]
-            own_mask[s, :len(mine)] = True
-        g_rest = _Graph.from_edges(row_rel[~is_hub], col_rel[~is_hub],
-                                   n_rel, edge_weight=w_rel[~is_hub])
-        part_rest = partition_graph(g_rest, p_sh)
-        assert part_rest.block_size == nb, (part_rest.block_size, nb)
-        rsplit = halo_split_tables(part_rest)
-        tables.update(
-            hb_dense=jnp.asarray(dense_hub),
-            hb_oslot=jnp.asarray(own_slot),
-            hb_orank=jnp.asarray(own_rank),
-            hb_omask=jnp.asarray(own_mask),
-            hb_weight=jnp.asarray(part_rest.edge_weight
-                                  * part_rest.edge_mask),
-            hb_send_idx=jnp.asarray(part_rest.send_idx),
-            hb_halo_gather=jnp.asarray(part_rest.halo_gather),
-            **{"hb_" + k: jnp.asarray(v) for k, v in rsplit.items()})
-        hub_consts = dict(h=hub_h, pair=part_rest.pair_size)
+            wblk_tables, wblk_tiles, win_consts = shard_window_blocks(
+                part_b, window=window)
+            for k, v in wblk_tables.items():
+                tables[k] = jnp.asarray(v)
+            for pfx, tt in wblk_tiles.items():   # same storing as tset above
+                for fld in ("edge_slot", "slot_mask", "col", "local_row",
+                            "tile_idx"):
+                    tables[pfx + fld] = getattr(tt, fld)
+                tile_tpls[pfx] = dataclasses.replace(
+                    tt, edge_slot=tt.edge_slot[0],
+                    slot_mask=tt.slot_mask[0], col=tt.col[0],
+                    local_row=tt.local_row[0], tile_idx=tt.tile_idx[0])
+        if hub_mode:
+            from graphax.dist.partition import partition_graph
+            from graphax.dist.sharded import _relabeled_edges
+            from graphax.sparse.graph import Graph as _Graph
+
+            row_rel, col_rel, w_rel = _relabeled_edges(part_b)
+            n_rel = p_sh * nb
+            indeg = np.bincount(col_rel, minlength=n_rel)
+            order = np.argsort(indeg)[::-1]
+            h_cand = [h for h in hub_candidates if h <= n_rel]
+            assert h_cand, f"no hub candidate <= {n_rel} nodes"
+            hub_h = h_cand[-1]
+            hub_ids = np.sort(order[:hub_h])
+            rank = np.full(n_rel, -1, np.int64)
+            rank[hub_ids] = np.arange(hub_h)
+            is_hub = rank[col_rel] >= 0
+            tile_h = 8
+            t_h = (nb + tile_h - 1) // tile_h
+            nbp_h = t_h * tile_h
+            dense_hub = np.zeros((p_sh, nbp_h, hub_h), np.float32)
+            sh_ = row_rel[is_hub] // nb
+            np.add.at(dense_hub, (sh_, row_rel[is_hub] % nb,
+                                  rank[col_rel[is_hub]]), w_rel[is_hub])
+            own_counts = np.bincount(hub_ids // nb, minlength=p_sh)
+            ho = max(int(own_counts.max()), 1)
+            own_slot = np.zeros((p_sh, ho), np.int32)
+            own_rank = np.zeros((p_sh, ho), np.int32)
+            own_mask = np.zeros((p_sh, ho), bool)
+            for s in range(p_sh):
+                mine = hub_ids[(hub_ids // nb) == s]
+                own_slot[s, :len(mine)] = mine % nb
+                own_rank[s, :len(mine)] = rank[mine]
+                own_mask[s, :len(mine)] = True
+            g_rest = _Graph.from_edges(row_rel[~is_hub], col_rel[~is_hub],
+                                       n_rel, edge_weight=w_rel[~is_hub])
+            part_rest = partition_graph(g_rest, p_sh)
+            assert part_rest.block_size == nb, (part_rest.block_size, nb)
+            rsplit = halo_split_tables(part_rest)
+            tables.update(
+                hb_dense=jnp.asarray(dense_hub),
+                hb_oslot=jnp.asarray(own_slot),
+                hb_orank=jnp.asarray(own_rank),
+                hb_omask=jnp.asarray(own_mask),
+                hb_weight=jnp.asarray(part_rest.edge_weight
+                                      * part_rest.edge_mask),
+                hb_send_idx=jnp.asarray(part_rest.send_idx),
+                hb_halo_gather=jnp.asarray(part_rest.halo_gather),
+                **{"hb_" + k: jnp.asarray(v) for k, v in rsplit.items()})
+            hub_consts = dict(h=hub_h, pair=part_rest.pair_size)
+        if cfg.block == "rewire_attention":
+            # rewiring builds a dense row-slab operator in the PADDED
+            # GLOBAL node space [0, P·Nb): map each local edge's extended
+            # col index back to its global padded id (owned block offset
+            # for local cols, sender-side id via send_idx for halo slots)
+            hp_b = part_b.pair_size
+            ext2g = np.zeros((p_sh, nb + part_b.halo_size), np.int64)
+            for s in range(p_sh):
+                ext2g[s, :nb] = s * nb + np.arange(nb)
+                for slot in range(part_b.halo_size):
+                    t, k = divmod(int(part_b.halo_gather[s, slot]), hp_b)
+                    ext2g[s, nb + slot] = t * nb + part_b.send_idx[t, s, k]
+            gcol = np.take_along_axis(ext2g,
+                                      part_b.local_col.astype(np.int64),
+                                      axis=1)
+            tables["global_col"] = jnp.asarray(gcol.astype(np.int32))
+            # full real-node mask, replicated per shard (pads excluded from
+            # the rewired operator's columns)
+            real_full = part_b.node_mask.reshape(-1)
+            tables["real_full"] = jnp.asarray(
+                np.broadcast_to(real_full, (p_sh, p_sh * nb)).copy())
+        if jax.process_count() > 1:
+            # multi-host: each process feeds only its own [P, ...] table
+            # slices (jax.make_array_from_process_local_data) — no host
+            # materializes the full stacked tables on device
+            from graphax.dist.multihost import feed_process_local
+
+            tables = {k: feed_process_local(np.asarray(v), mesh, axis_name)
+                      for k, v in tables.items()}
+        return tables
 
     def _mk_tiles(tbl, pfx):
         t = dataclasses.replace(
@@ -376,27 +429,24 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         return (dw.astype(vals.dtype), dxe.astype(x_ext.dtype), dtbl)
 
     _spmm_cv.defvjp(_spmm_cv_fwd, _spmm_cv_bwd)
-
-    if cfg.block == "rewire_attention":
-        # rewiring builds a dense row-slab operator in the PADDED GLOBAL
-        # node space [0, P·Nb): map each local edge's extended col index
-        # back to its global padded id (owned block offset for local cols,
-        # sender-side id via send_idx for halo slots)
-        ext2g = np.zeros((p_sh, nb + part.halo_size), np.int64)
-        for s in range(p_sh):
-            ext2g[s, :nb] = s * nb + np.arange(nb)
-            for slot in range(part.halo_size):
-                t, k = divmod(int(part.halo_gather[s, slot]), hp)
-                ext2g[s, nb + slot] = t * nb + part.send_idx[t, s, k]
-        gcol = np.take_along_axis(ext2g, part.local_col.astype(np.int64),
-                                  axis=1)
-        tables["global_col"] = jnp.asarray(gcol.astype(np.int32))
-        # full real-node mask, replicated per shard (pads excluded from the
-        # rewired operator's columns)
-        real_full = part.node_mask.reshape(-1)
-        tables["real_full"] = jnp.asarray(
-            np.broadcast_to(real_full, (p_sh, p_sh * nb)).copy())
+    tables = _build_tables(part)
     tkeys = tuple(sorted(tables))
+
+    def _set_tables(new_tables: dict) -> bool:
+        """Swap in rebuilt tables (epoch-boundary rewiring). Returns True
+        when every shape/dtype matches the previous build — the already-
+        compiled jitted entry points are reused as-is (tables are jit
+        arguments). A False return means the caps grew; the caller must
+        rebuild the model (recompile)."""
+        nonlocal tables
+        if set(new_tables) != set(tkeys):
+            return False
+        same = all(new_tables[k].shape == tables[k].shape
+                   and new_tables[k].dtype == tables[k].dtype
+                   for k in tkeys)
+        if same:
+            tables = new_tables
+        return same
 
     # ------------------------------------------------------------------
     # collective building blocks (all called INSIDE shard_map)
@@ -805,23 +855,64 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
     # block: pin edge values at x0, then integrate
     # ------------------------------------------------------------------
 
+    def _pin_mean_att(p_att, x0, x_ext, tbl, need_grad: bool,
+                      transformer_layer: bool):
+        """Head-mean block attention [Es]. When no gradient is required
+        (eval forwards; the hard block's no_grad selection) and the layer
+        is a transformer layer on the tiled layout, rides the streaming
+        Pallas scores+normalize kernels (two-input form over the
+        halo-extended state) — the XLA per-edge pin costs more than the
+        whole fused solve at arxiv scale (scripts/profile_fwd_breakdown
+        .py); otherwise the differentiable per-edge path."""
+        if (transformer_layer and not need_grad and local_tiles
+                and jax.default_backend() == "tpu"):
+            from graphax.kernels.pallas_attention import (
+                attention_edge_means_pallas, attention_means_supported,
+            )
+
+            if attention_means_supported(cfg):
+                es_cap = int(tbl["edge_weight"].shape[0])
+                return attention_edge_means_pallas(
+                    cfg, p_att, _mk_tiles(tbl, "rt_"), x0, es_cap,
+                    edge_weight=tbl["edge_weight"], x_src=x_ext,
+                    vma_axes=(axis_name,))
+        att, _ = _attention(p_att, x0, x_ext, tbl)
+        return att.mean(axis=1)
+
     def _pin_edge_values(block_params, x0, tbl, train: bool, rng=None):
         """The block-level attention computation (once per forward)."""
         if cfg.block == "constant":
             return None
+        if cfg.block in ("attention", "mixed") and \
+                cfg.function != "laplacian":
+            # transformer/GAT recompute attention per NFE and never read
+            # the pinned value — dead compute in the reference
+            # (`AttODEblock` fills `attention_weights`,
+            # `ODEFuncTransformerAtt` ignores it); skip it (twin of
+            # blocks/attention.py)
+            return None
         x_ext = _x_ext(x0, tbl)
         if cfg.block in ("attention", "mixed"):
-            att, _ = _attention(block_params["att_layer"], x0, x_ext, tbl)
-            mean_att = att.mean(axis=1)
+            mean_att = _pin_mean_att(block_params["att_layer"], x0, x_ext,
+                                     tbl, need_grad=train,
+                                     transformer_layer=True)
             if cfg.block == "mixed":
                 gamma = jax.nn.sigmoid(block_params["gamma"])
                 return mean_att * (1 - gamma) + tbl["edge_weight"] * gamma
             return mean_att
         if cfg.block == "rewire_attention":
             return _pin_rewire(block_params, x0, x_ext, tbl, train, rng)
-        # hard_attention (`src/block_transformer_hard_attention.py:41-60`)
-        att = _block_attention(block_params, x0, x_ext, tbl)
-        mean_att = att.mean(axis=1)
+        # hard_attention (`src/block_transformer_hard_attention.py:41-60`);
+        # the selection is no_grad in the reference -> fast pin on train too
+        if cfg.function == "GAT":
+            att = _block_attention(block_params, x0, x_ext, tbl)
+            mean_att = att.mean(axis=1)
+        else:
+            own_layer = cfg.function != "transformer"
+            p_att = block_params["att_layer"] if own_layer \
+                else block_params["func"]["att"]
+            mean_att = _pin_mean_att(p_att, x0, x_ext, tbl, need_grad=False,
+                                     transformer_layer=True)
         if not train:
             return jnp.where(tbl["edge_mask"], mean_att, 0.0)
         mean_att = jax.lax.stop_gradient(mean_att)
@@ -1195,6 +1286,29 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
                                    train=False)
         return logits[None]
 
+    # embedding entry points for kNN rewiring (`apply_KNN`'s T0/TN spaces,
+    # `src/graph_rewiring.py:151-161`): encoder output, or encoder + solve
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), gspec, gspec, tspec), out_specs=gspec)
+    def _embed_t0_sm(params, state, xs, pos, tbl):
+        tl = _tbl_local(tbl)
+        pl = pos[0] if cfg.beltrami else None
+        x0, _ = _encode(params, state, xs[0], pl, None, tl, train=False)
+        return x0[None]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), gspec, gspec, tspec), out_specs=gspec)
+    def _embed_tn_sm(params, state, xs, pos, tbl):
+        tl = _tbl_local(tbl)
+        pl = pos[0] if cfg.beltrami else None
+        x0, _ = _encode(params, state, xs[0], pl, None, tl, train=False)
+        res = _integrate(params["block"], tl,
+                         x0.astype(jnp.dtype(cfg.dtype)), train=False)
+        z = res.y[0] if isinstance(res.y, tuple) else res.y
+        return z.astype(x0.dtype)[None]
+
     # thin wrappers binding the static tables. The tables are passed as
     # jit ARGUMENTS (the shard_map'd fns are jitted directly), never closed
     # over: on the tunneled TPU platform baked-in jit constants run the
@@ -1234,6 +1348,14 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         _forward_logits_sm,
         in_shardings=(rep_sh, rep_sh, g_sh, g_sh, g_sh),
         out_shardings=g_sh)
+    _e0_j = jax.jit(
+        _embed_t0_sm,
+        in_shardings=(rep_sh, rep_sh, g_sh, g_sh, g_sh),
+        out_shardings=g_sh)
+    _en_j = jax.jit(
+        _embed_tn_sm,
+        in_shardings=(rep_sh, rep_sh, g_sh, g_sh, g_sh),
+        out_shardings=g_sh)
 
     def train_step(params, state, opt_state, xs, ys, mask, rng, pos=None):
         pos = zeros_pos if pos is None else pos
@@ -1255,21 +1377,35 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         pos = zeros_pos if pos is None else pos
         return _fl_j(params, state, xs, pos, tables)
 
+    def forward_embed(params, state, xs, mode="T0", pos=None):
+        """Sharded embedding for kNN rewiring: 'T0' = encoder output,
+        'TN' = encoder + full solve (no decode)."""
+        pos = zeros_pos if pos is None else pos
+        f = _e0_j if mode == "T0" else _en_j
+        return f(params, state, xs, pos, tables)
+
     return ShardedGNN(
         init=single.init,
         train_step=train_step,
         eval_accs=eval_accs,
         eval_early=eval_early,
         forward_logits=forward_logits,
-        state_dim=state_dim)
+        state_dim=state_dim,
+        internals=dict(
+            rhs=_rhs, x_ext=_x_ext, tables=lambda: tables, mesh=mesh,
+            axis_name=axis_name, nb=nb, ext=ext, p_sh=p_sh, hp=hp,
+            pin=_pin_edge_values, integrate=_integrate, cfg=cfg,
+            build_tables=_build_tables, set_tables=_set_tables,
+            forward_embed=forward_embed))
 
 
 def normalized_partition(cfg, graph, num_shards: int,
-                         method: str = "contiguous") -> EdgePartition:
+                         method: str = "contiguous",
+                         num_slices: int = 1) -> EdgePartition:
     """normalize_graph (hoisted out of the per-forward path — edge weights
     are static through training) then partition."""
     from graphax.blocks.common import normalize_graph
     from graphax.dist.partition import partition_graph
 
     return partition_graph(normalize_graph(cfg, graph), num_shards,
-                           method=method)
+                           method=method, num_slices=num_slices)

@@ -57,13 +57,21 @@ class EdgePartition:
 
 def partition_graph(graph: Graph, num_shards: int,
                     pad_multiple: int = 8,
-                    method: str = "contiguous") -> EdgePartition:
+                    method: str = "contiguous",
+                    num_slices: int = 1) -> EdgePartition:
     """Owner-computes edge partition. ``method="contiguous"`` assigns node
     blocks by raw id ranges; ``method="bfs"`` first runs the native balanced
     BFS region-growing partitioner (graphax.native.partition_bfs — the
     METIS-lite "graph growing" heuristic) and relabels nodes so each part is
     a contiguous block, typically cutting the halo several-fold on
-    community-structured graphs (see SCALING.md)."""
+    community-structured graphs (see SCALING.md).
+
+    ``num_slices > 1`` (multi-host pods, with ``method="bfs"``): reorder the
+    parts with `graphax.dist.multihost.dcn_block_order` so high-edge-cut
+    part pairs are contiguous — on a DCN-outer mesh
+    (`multihost.global_mesh`) consecutive shards share a slice, so the
+    heavy halo traffic rides ICI and only the low-cut remainder crosses
+    DCN (SURVEY §2.8 halo-exchange row)."""
     row = np.asarray(graph.row)
     col = np.asarray(graph.col)
     w = np.asarray(graph.edge_weight)
@@ -78,6 +86,13 @@ def partition_graph(graph: Graph, num_shards: int,
         from graphax import native
 
         labels, _cut = native.partition_bfs(row, col, n, p, nb)
+        if num_slices > 1 and p % num_slices == 0:
+            from graphax.dist.multihost import dcn_block_order
+
+            order = dcn_block_order(row, col, labels, p, num_slices)
+            pos = np.empty(p, np.int64)
+            pos[order] = np.arange(p)
+            labels = pos[labels]
         node_ids = np.full((p, nb), -1, np.int64)
         newpos = np.empty(n, np.int64)
         part_sizes = []
@@ -186,8 +201,45 @@ def unshard_nodes(xs: np.ndarray, part: EdgePartition) -> np.ndarray:
     return out
 
 
+def pad_partition(part: EdgePartition, es: int = None, h: int = None,
+                  hp: int = None) -> EdgePartition:
+    """Grow a partition's static buffers to given caps: edge slots per
+    shard (``es``), halo slots (``h``), per-pair halo slots (``hp``).
+    ``halo_gather``'s flat receive indices are remapped for the new pair
+    stride. Shrinking is not supported (caps are maxed with current sizes).
+
+    Used by DistTrainer's epoch-boundary rewiring to keep every table
+    shape identical across re-partitions, so the rebuilt tables re-enter
+    the already-compiled jitted step (warm caches)."""
+    es0 = part.local_row.shape[1]
+    es = max(es0, es or 0)
+    h0, hp0 = part.halo_size, part.pair_size
+    h = max(h0, h or 0)
+    hp = max(hp0, hp or 0)
+    if (es, h, hp) == (es0, h0, hp0):
+        return part
+    p = part.num_shards
+
+    def grow(a, width, fill=0):
+        out = np.full(a.shape[:-1] + (width,), fill, a.dtype)
+        out[..., : a.shape[-1]] = a
+        return out
+
+    hg = part.halo_gather
+    hg_new = np.zeros((p, h), hg.dtype)
+    hg_new[:, :h0] = (hg // hp0) * hp + (hg % hp0)
+    return dataclasses.replace(
+        part,
+        local_row=grow(part.local_row, es),
+        local_col=grow(part.local_col, es),
+        edge_weight=grow(part.edge_weight, es),
+        edge_mask=grow(part.edge_mask, es, fill=False),
+        send_idx=grow(part.send_idx, hp),
+        halo_gather=hg_new, halo_size=h, pair_size=hp)
+
+
 def shard_row_tiles(part: EdgePartition, tile: int = 128,
-                    block_edges: int = None):
+                    block_edges: int = None, min_blocks: int = None):
     """Per-shard row-tiled block tables for the MXU scatter-free local
     compute inside shard_map (graphax.kernels.segment_mxu) — the multi-chip
     version of the single-chip tiled strategy. Returns a
@@ -199,11 +251,13 @@ def shard_row_tiles(part: EdgePartition, tile: int = 128,
     cols = [part.local_col[s][part.edge_mask[s]] for s in range(p)]
     slots = [np.where(part.edge_mask[s])[0] for s in range(p)]
     return shard_row_tiles_from(rows, cols, slots, part.block_size,
-                                tile=tile, block_edges=block_edges)
+                                tile=tile, block_edges=block_edges,
+                                min_blocks=min_blocks)
 
 
 def shard_row_tiles_subset(part: EdgePartition, slot, mask, row, col,
-                           tile: int = 128, block_edges: int = None):
+                           tile: int = 128, block_edges: int = None,
+                           min_blocks: int = None):
     """Per-shard row tiles for an EDGE SUBSET given as stacked split tables
     (the `halo_split_tables` format: ``slot [P, E']`` indexes the shard's
     [Es] value buffer, ``col`` already offset into its source buffer —
@@ -214,11 +268,12 @@ def shard_row_tiles_subset(part: EdgePartition, slot, mask, row, col,
     cols = [np.asarray(col[s])[np.asarray(mask[s])] for s in range(p)]
     slots = [np.asarray(slot[s])[np.asarray(mask[s])] for s in range(p)]
     return shard_row_tiles_from(rows, cols, slots, part.block_size,
-                                tile=tile, block_edges=block_edges)
+                                tile=tile, block_edges=block_edges,
+                                min_blocks=min_blocks)
 
 
 def shard_row_tiles_from(rows, cols, slots, nb: int, tile: int = 128,
-                         block_edges: int = None):
+                         block_edges: int = None, min_blocks: int = None):
     """Core of :func:`shard_row_tiles`: per-shard lists of (row, col,
     value-buffer slot) → stacked RowTiles. ``cols`` may index ANY source
     buffer (local block, extended local+halo, or the halo buffer alone) —
@@ -253,6 +308,8 @@ def shard_row_tiles_from(rows, cols, slots, nb: int, tile: int = 128,
                     t.num_tiles))
     num_tiles = per[0][5]
     b_max = max(x[4].shape[0] for x in per)
+    if min_blocks is not None:
+        b_max = max(b_max, min_blocks)   # shape pinning across rebuilds
     eb = block_edges
 
     def pad(es, sm, co, lr_, ti):

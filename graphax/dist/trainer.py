@@ -34,11 +34,23 @@ class DistTrainer:
                  partition_method: str = "bfs", local_tiles="auto"):
         self.cfg = cfg
         self.data = data
+        self._partition_method = partition_method
+        self._local_tiles = local_tiles
         n_graph = int(np.prod(cfg.mesh_shape))
+        n_slices = 1
+        if mesh is None and jax.process_count() > 1:
+            # multi-host: graph axis over the GLOBAL devices, DCN outermost;
+            # partition parts ordered so high-cut pairs share a slice
+            from graphax.dist.multihost import global_mesh, num_slices
+
+            mesh = global_mesh(graph_shards=n_graph,
+                               axis_names=("graph",))
+            n_slices = num_slices()
         self.mesh = mesh or make_mesh((n_graph,), ("graph",))
         try:
             self.part = normalized_partition(cfg, data.graph, n_graph,
-                                             method=partition_method)
+                                             method=partition_method,
+                                             num_slices=n_slices)
         except Exception:
             self.part = normalized_partition(cfg, data.graph, n_graph)
         self.model = make_sharded_gnn(self.mesh, self.part, cfg,
@@ -50,13 +62,24 @@ class DistTrainer:
         self.fm, self.bm = Meter(), Meter()
         self._shard_static()
 
+    def _feed(self, stacked):
+        """Device placement for a [P, ...] stacked array: plain asarray on
+        one process, per-process-slice feeding on multi-host (each process
+        materializes only its own shards — graphax.dist.multihost)."""
+        if jax.process_count() > 1:
+            from graphax.dist.multihost import feed_process_local
+
+            return feed_process_local(np.asarray(stacked), self.mesh)
+        return jnp.asarray(stacked)
+
     def _shard_static(self):
         data, part = self.data, self.part
-        sh = lambda a: jnp.asarray(shard_nodes(np.asarray(a), part))
-        shm = lambda m: jnp.asarray(shard_nodes(
-            np.asarray(m)[:, None].astype(np.float32), part))[..., 0] > 0.5
-        self.ys = jnp.asarray(shard_nodes(
-            np.asarray(data.y)[:, None], part))[..., 0].astype(jnp.int32)
+        sh = lambda a: self._feed(shard_nodes(np.asarray(a), part))
+        shm = lambda m: self._feed(shard_nodes(
+            np.asarray(m)[:, None].astype(np.float32),
+            part)[..., 0] > 0.5)
+        self.ys = self._feed(shard_nodes(
+            np.asarray(data.y)[:, None], part)[..., 0].astype(np.int32))
         self.m_tr = shm(data.train_mask)
         self.m_va = shm(data.val_mask)
         self.m_te = shm(data.test_mask)
@@ -79,7 +102,7 @@ class DistTrainer:
             feat = np.asarray(add_labels(
                 jnp.asarray(feat), jnp.asarray(data.y),
                 jnp.asarray(label_mask), data.num_classes))
-        return jnp.asarray(shard_nodes(feat, self.part))
+        return self._feed(shard_nodes(feat, self.part))
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
@@ -120,6 +143,76 @@ class DistTrainer:
                                     pos=self.pos)
         return {k: float(v) for k, v in out.items()}
 
+    # ------------------------------------------------------------------
+    # epoch-boundary graph rewiring (BLEND graph evolution, sharded —
+    # `run_GNN.py:252-254` / `graph_rewiring.py:151-161`)
+    # ------------------------------------------------------------------
+
+    def _embeddings(self, state: TrainState, mode: str) -> np.ndarray:
+        """[N, D] host embeddings for kNN: raw features, the sharded
+        encoder output (T0), or the sharded encoder+solve output (TN)."""
+        if mode == "raw":
+            return np.asarray(self.data.x)
+        if mode not in ("T0", "TN"):
+            raise ValueError(f"rewire_KNN_T must be raw|T0|TN, got {mode!r}")
+        xs = self._features(None, train=False)
+        zs = self.model.internals["forward_embed"](
+            state.params, state.model_state, xs, mode, pos=self.pos)
+        return unshard_nodes(np.asarray(jax.device_get(zs)), self.part)
+
+    def rewire_knn(self, state: TrainState):
+        """kNN-rewire the dataset graph (`rewire_KNN_epoch` epochs): embed
+        (sharded), build the SAME edge set as the single-chip
+        `apply_knn` (host-side `knn_graph` on the unsharded embeddings),
+        then re-partition and swap the rebuilt tables into the
+        already-compiled step — warm jit caches when the static caps hold
+        (SURVEY §7.3 hard part 5)."""
+        from graphax.rewiring.knn import knn_graph, rewire_graph_with_edges
+
+        cfg = self.cfg
+        z = self._embeddings(state, cfg.rewire_KNN_T)
+        row, col = knn_graph(z, cfg.rewire_KNN_k, sym=cfg.rewire_KNN_sym)
+        new_graph = rewire_graph_with_edges(
+            self.data.graph, row, col,
+            self_loop_weight=cfg.self_loop_weight)
+        self.swap_graph(new_graph)
+
+    def swap_graph(self, new_graph):
+        """Re-partition for a new topology. Fast path: pad the new
+        partition to the previous static caps and swap the rebuilt tables
+        in as new jit-argument values (`internals['set_tables']`) — the
+        compiled train/eval steps are reused as-is. If any cap grew, fall
+        back to a full model rebuild (one recompile; subsequent rewires at
+        the grown caps are warm again)."""
+        import dataclasses
+
+        from graphax.dist.partition import pad_partition
+
+        self.data = dataclasses.replace(self.data, graph=new_graph)
+        try:
+            npart = normalized_partition(self.cfg, new_graph,
+                                         self.part.num_shards,
+                                         method=self._partition_method)
+        except Exception:
+            npart = normalized_partition(self.cfg, new_graph,
+                                         self.part.num_shards)
+        npart = pad_partition(npart, es=self.part.local_row.shape[1],
+                              h=self.part.halo_size, hp=self.part.pair_size)
+        swapped = False
+        if npart.block_size == self.part.block_size:
+            try:
+                tables = self.model.internals["build_tables"](npart)
+                swapped = self.model.internals["set_tables"](tables)
+            except Exception:
+                swapped = False
+        if not swapped:
+            self.model = make_sharded_gnn(
+                self.mesh, npart, self.cfg, self.data.num_features,
+                self.data.num_classes, local_tiles=self._local_tiles)
+        self.part = npart
+        self.last_swap_was_warm = swapped
+        self._shard_static()
+
     def fit(self, epochs: Optional[int] = None, log_every: int = 0,
             use_early_stop: Optional[bool] = None,
             seed: Optional[int] = None,
@@ -144,6 +237,8 @@ class DistTrainer:
                 state, best, start_epoch = resumed
         for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
+            if cfg.rewire_KNN and epoch % cfg.rewire_KNN_epoch == 0:
+                self.rewire_knn(state)
             state, loss = self.train_step(state)
             if use_early_stop:
                 res = self.evaluate_early(state)

@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_shape", type=str, default=argparse.SUPPRESS,
                    help="comma-separated graph-axis mesh, e.g. '4' or '8' — "
                         ">1 routes training through the sharded DistTrainer")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize from "
+                        "GRAPHAX_COORDINATOR/GRAPHAX_NUM_PROC/GRAPHAX_"
+                        "PROC_ID (or an auto-detected launcher), then run "
+                        "the DistTrainer over the global DCN-outer mesh "
+                        "(graphax.dist.multihost)")
     for f in dataclasses.fields(Config):
         if f.name in ("mesh_shape", "mesh_axes"):
             continue
@@ -48,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
 def config_from_args(args) -> Config:
     explicit = {k: v for k, v in vars(args).items()
                 if k not in ("use_best_params", "data_dir", "log_every",
-                             "synthetic_fallback")}
+                             "synthetic_fallback", "distributed")}
     if isinstance(explicit.get("mesh_shape"), str):
         explicit["mesh_shape"] = tuple(
             int(s) for s in explicit["mesh_shape"].split(",") if s)
@@ -118,6 +124,11 @@ def run(cfg: Config, data_dir: str = "./data", log_every: int = 10,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "distributed", False):
+        from graphax.dist.multihost import init_distributed
+
+        nproc, pid = init_distributed()
+        print(f"distributed: process {pid}/{nproc}")
     cfg = config_from_args(args)
     return run(cfg, data_dir=args.data_dir, log_every=args.log_every)
 

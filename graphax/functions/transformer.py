@@ -159,6 +159,36 @@ def transformer_attention_apply(params, cfg, graph, x, y=None):
 # RHS
 # ----------------------------------------------------------------------
 
+def attention_edge_means(params, cfg, graph, x, *, differentiable: bool,
+                         y=None):
+    """Head-mean normalized attention per edge ``[E]`` — the block-level
+    pinning value (`AttODEblock` / mixed / hard blocks pin
+    ``att.mean(heads)`` once per forward,
+    `src/block_transformer_attention.py:24-31`).
+
+    When no gradient is required (eval forwards; the hard block's no_grad
+    selection) and the layout/config allow, this rides the streaming
+    Pallas scores+normalize kernels — measured at ogbn-arxiv scale the XLA
+    per-edge pin costs 538 ms, MORE than the whole 16-NFE fused solve
+    (scripts/profile_fwd_breakdown.py); the kernel path is ~20 ms.
+    Otherwise: the differentiable XLA per-edge apply."""
+    if (not differentiable and y is None
+            and getattr(graph, "tiles", None) is not None
+            and graph.strategy == "tiled"
+            and jax.default_backend() == "tpu"):
+        from graphax.kernels.pallas_attention import (
+            attention_edge_means_pallas, attention_means_supported,
+        )
+
+        if attention_means_supported(cfg):
+            return attention_edge_means_pallas(
+                cfg, params, graph.tiles, x,
+                int(graph.edge_buffer_size),
+                edge_weight=graph.edge_weight).astype(x.dtype)
+    att, _ = transformer_attention_apply(params, cfg, graph, x, y=y)
+    return att.mean(axis=1)
+
+
 def multiply_attention(params, cfg, graph, x, attention, v):
     """`ODEFuncTransformerAtt.multiply_attention` (`:20-42`)."""
     if cfg.mix_features:

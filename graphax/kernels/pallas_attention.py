@@ -858,6 +858,145 @@ def _f0(a):
     return np.zeros(a.shape, jax.dtypes.float0)
 
 
+def _pad_scal_vals(vals):
+    s = jnp.zeros((1, SCAL_N), jnp.float32)
+    for i, v in enumerate(vals):
+        s = s.at[0, i].set(v)
+    return s
+
+
+def _vma_cast(a, vma):
+    """Inside shard_map every pallas operand must carry the same
+    varying-axes set; params/constants enter replicated (unvarying) in
+    eval-mode shard_maps, so cast them (no-op otherwise)."""
+    if not vma:
+        return a
+    from graphax.dist.mesh import ensure_varying
+    for ax in vma:
+        a = ensure_varying(a, ax)
+    return a
+
+
+def _prep_inputs(cfg, att_params, x, x_src, edge_weight, t_slot, t_mask,
+                 t_col, num_tiles, tile, vma=None):
+    """Kernel-operand prep shared by the fused RHS (`_make_fused`) and the
+    attention-weights entry (`attention_edge_means_pallas`): q projection
+    tiled to the row layout, source rows gathered by col, combined K weight
+    (Beltrami packs Kx/Kp into one [D, 2A] matrix so the kernels keep their
+    single-matmul dataflow), reweight buffer, scale constants."""
+    from graphax.utils.params import linear_apply
+
+    heads = cfg.heads
+    beltrami = cfg.beltrami and cfg.attention_type == "exp_kernel"
+    if beltrami:
+        fh, ph = cfg.feat_hidden_dim, cfg.pos_enc_hidden_dim
+        featx = jnp.concatenate([x[:, :fh], x[:, fh + ph:]], axis=1)
+        posx = x[:, fh:fh + ph]
+        q = jnp.concatenate([linear_apply(att_params["Qx"], featx),
+                             linear_apply(att_params["Qp"], posx)],
+                            axis=-1)
+        q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
+        xg = x_src[t_col]
+        awx = att_params["Kx"]["w"].astype(x.dtype)
+        awp = att_params["Kp"]["w"].astype(x.dtype)
+        a_att = awx.shape[1]
+        d_full = x.shape[1]
+        wk = jnp.zeros((d_full, 2 * a_att), x.dtype)
+        wk = wk.at[:fh, :a_att].set(awx[:fh])
+        wk = wk.at[fh + ph:, :a_att].set(awx[fh:])
+        wk = wk.at[fh:fh + ph, a_att:].set(awp)
+        bk = jnp.concatenate([att_params["Kx"]["b"],
+                              att_params["Kp"]["b"]]) \
+            .astype(jnp.float32)[None, :]
+        scal = _pad_scal_vals([
+            att_params["output_var_x"] ** 2,
+            1.0 / (2.0 * att_params["lengthscale_x"] ** 2),
+            att_params["output_var_p"] ** 2,
+            1.0 / (2.0 * att_params["lengthscale_p"] ** 2)])
+    else:
+        q = linear_apply(att_params["Q"], x)
+        if cfg.attention_type == "scaled_dot":
+            q = q / jnp.sqrt(jnp.asarray(cfg.attention_dim // heads,
+                                         jnp.float32)).astype(q.dtype)
+        q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
+        xg = x_src[t_col]
+        wk = att_params["K"]["w"].astype(x.dtype)
+        bk = att_params["K"]["b"].astype(jnp.float32)[None, :]
+        if cfg.attention_type == "exp_kernel":
+            if "_ov2" in att_params:
+                ov2 = att_params["_ov2"]
+                inv2l2 = att_params["_inv2l2"]
+            else:
+                ov2 = att_params["output_var"] ** 2
+                inv2l2 = 1.0 / (2.0 * att_params["lengthscale"] ** 2)
+            scal = _pad_scal_vals([ov2, inv2l2])
+        else:
+            scal = jnp.zeros((1, SCAL_N), jnp.float32)
+    if cfg.reweight_attention and edge_weight is not None:
+        wb = jnp.where(t_mask, edge_weight[t_slot], 0) \
+            .astype(jnp.float32)
+    else:
+        wb = jnp.zeros(t_slot.shape, jnp.float32)
+    pv = lambda a: _vma_cast(a, vma)
+    return (pv(q_tiles), pv(xg), pv(wk), pv(bk), pv(wb), pv(scal))
+
+
+def attention_edge_means_pallas(cfg, att_params, tiles, x,
+                                num_edge_slots: int,
+                                edge_weight=None, x_src=None,
+                                vma_axes=None):
+    """Per-edge HEAD-MEAN normalized attention in value-buffer slot order —
+    the block-level pinning computation (`AttODEblock` computes attention
+    once per forward from x(0) and pins the head mean,
+    `src/block_transformer_attention.py:24-31`; mixed and hard blocks do
+    the same) on the streaming Pallas kernels instead of the per-edge XLA
+    path. Measured at arxiv scale (h=4, attention_dim=160): the XLA pin
+    costs 538 ms per forward — more than the whole 16-NFE solve
+    (scripts/profile_fwd_breakdown.py); this path costs one kernel sweep
+    (~20 ms).
+
+    Returns ``[num_edge_slots]`` float32 (padded slots zero). Row-softmax
+    only (``attention_norm_idx=0``, no square_plus — gate with
+    :func:`attention_means_supported`). NOT differentiable: no VJP is
+    registered on the Pallas calls, so callers must be under
+    `stop_gradient` (hard attention) or eval mode.
+    """
+    heads = cfg.heads
+    beltrami = cfg.beltrami and cfg.attention_type == "exp_kernel"
+    att_type_eff = "beltrami_exp" if beltrami else cfg.attention_type
+    xs = x if x_src is None else x_src
+    nt, tl = tiles.num_tiles, tiles.tile
+    q_tiles, xg, wk, bk, wb, scal = _prep_inputs(
+        cfg, att_params, x, xs, edge_weight, tiles.edge_slot,
+        tiles.slot_mask, tiles.col, nt, tl, vma=vma_axes)
+    scores, rmax = _scores_call(
+        att_type_eff, bool(cfg.reweight_attention), heads, q_tiles, xg,
+        wk, bk, wb, tiles.local_row, tiles.tile_idx, scal, nt, tl,
+        vma=vma_axes)
+    present = presence_scale(tiles.tile_idx, nt) > 0
+    rmax = jnp.where(present[:, None, None], rmax, NEG)
+    shift = jnp.where(rmax <= NEG / 2, 0.0, rmax)
+    e, denom = _norm_call(False, scores, shift, tiles.local_row,
+                          tiles.tile_idx, nt, tl, vma=vma_axes)
+    # e [B, H, Eb]; denom [T, H, tile] accumulated across a tile's blocks.
+    # Per-edge denominator: broadcast back through (tile_idx, local_row).
+    lrow = jnp.minimum(tiles.local_row, tl - 1)        # fill rows -> clamp
+    d_b = denom[tiles.tile_idx]                        # [B, H, tile]
+    d_e = jnp.take_along_axis(d_b, lrow[:, None, :], axis=2)   # [B, H, Eb]
+    att = e / jnp.where(d_e > 0, d_e, 1.0)
+    mean = jnp.mean(att, axis=1)                       # [B, Eb]
+    flat_slot = tiles.edge_slot.reshape(-1)
+    flat = jnp.where(tiles.slot_mask.reshape(-1), mean.reshape(-1), 0.0)
+    return jnp.zeros((int(num_edge_slots),), jnp.float32) \
+        .at[flat_slot].add(flat)
+
+
+def attention_means_supported(cfg) -> bool:
+    """Configs :func:`attention_edge_means_pallas` covers."""
+    return (cfg.attention_norm_idx == 0 and not cfg.square_plus
+            and not cfg.mix_features and not cfg.multi_modal)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
                 pallas_bwd=False, num_src=None, vma_axes=None):
@@ -900,67 +1039,9 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
     if norm1 or pallas_bwd:
         num_tiles_t, tile_t = t_shape
 
-    def _pad_scal(vals):
-        s = jnp.zeros((1, SCAL_N), jnp.float32)
-        for i, v in enumerate(vals):
-            s = s.at[0, i].set(v)
-        return s
-
     def _prep(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col):
-        if beltrami:
-            # combined-weight trick: kx = feat@Kx and kp = pos@Kp are both
-            # linear in the full state, so one [D, 2A] weight serves both
-            # and the kernels keep their single-matmul dataflow
-            fh, ph = cfg.feat_hidden_dim, cfg.pos_enc_hidden_dim
-            featx = jnp.concatenate([x[:, :fh], x[:, fh + ph:]], axis=1)
-            posx = x[:, fh:fh + ph]
-            q = jnp.concatenate([linear_apply(att_params["Qx"], featx),
-                                 linear_apply(att_params["Qp"], posx)],
-                                axis=-1)
-            q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
-            xg = x_src[t_col]
-            awx = att_params["Kx"]["w"].astype(x.dtype)
-            awp = att_params["Kp"]["w"].astype(x.dtype)
-            a_att = awx.shape[1]
-            d_full = x.shape[1]
-            wk = jnp.zeros((d_full, 2 * a_att), x.dtype)
-            wk = wk.at[:fh, :a_att].set(awx[:fh])
-            wk = wk.at[fh + ph:, :a_att].set(awx[fh:])
-            wk = wk.at[fh:fh + ph, a_att:].set(awp)
-            bk = jnp.concatenate([att_params["Kx"]["b"],
-                                  att_params["Kp"]["b"]]) \
-                .astype(jnp.float32)[None, :]
-            scal = _pad_scal([
-                att_params["output_var_x"] ** 2,
-                1.0 / (2.0 * att_params["lengthscale_x"] ** 2),
-                att_params["output_var_p"] ** 2,
-                1.0 / (2.0 * att_params["lengthscale_p"] ** 2)])
-        else:
-            q = linear_apply(att_params["Q"], x)
-            if cfg.attention_type == "scaled_dot":
-                q = q / jnp.sqrt(jnp.asarray(cfg.attention_dim // heads,
-                                             jnp.float32)).astype(q.dtype)
-            q_tiles = _tile_rows(q.astype(x.dtype), num_tiles, tile)
-            xg = x_src[t_col]
-            wk = att_params["K"]["w"].astype(x.dtype)
-            bk = att_params["K"]["b"].astype(jnp.float32)[None, :]
-            if cfg.attention_type == "exp_kernel":
-                if "_ov2" in att_params:
-                    ov2 = att_params["_ov2"]
-                    inv2l2 = att_params["_inv2l2"]
-                else:
-                    ov2 = att_params["output_var"] ** 2
-                    inv2l2 = 1.0 / (2.0 * att_params["lengthscale"] ** 2)
-                scal = _pad_scal([ov2, inv2l2])
-            else:
-                scal = jnp.zeros((1, SCAL_N), jnp.float32)
-        if cfg.reweight_attention and edge_weight is not None:
-            wb = jnp.where(t_mask, edge_weight[t_slot], 0) \
-                .astype(jnp.float32)
-        else:
-            wb = jnp.zeros(t_slot.shape, jnp.float32)
-        return (_pv(q_tiles), _pv(xg), _pv(wk), _pv(bk), _pv(wb),
-                _pv(scal))
+        return _prep_inputs(cfg, att_params, x, x_src, edge_weight, t_slot,
+                            t_mask, t_col, num_tiles, tile, vma=vma)
 
     def _forward(att_params, x, x_src, edge_weight, t_slot, t_mask, t_col,
                  t_lrow, t_tidx, tt=None, allow_flash=True,

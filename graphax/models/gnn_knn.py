@@ -42,10 +42,14 @@ def make_gnn_knn(cfg, num_features: int, num_classes: int) -> KNNGNNModel:
     fa_block = get_block(cfg_fa, base.state_dim) if cfg.fa_layer else None
 
     def init(key):
+        if fa_block is None:
+            # same key path as make_gnn: a rewiring run without the fa
+            # layer has the SAME params as the plain model (checkpoints
+            # and the sharded trainer transplant either way)
+            return base.init(key)
         k1, k2 = jax.random.split(key)
         params, state = base.init(k1)
-        if fa_block is not None:
-            params["fa_block"] = fa_block.init(k2)
+        params["fa_block"] = fa_block.init(k2)
         return params, state
 
     def forward_ode(params, state, graph, x, *, train: bool, rng=None,

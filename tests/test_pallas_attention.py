@@ -438,3 +438,52 @@ def test_flash_squareplus_two_pass():
                                     edge_weight=g.edge_weight)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("att_type", ["scaled_dot", "cosine_sim",
+                                      "exp_kernel"])
+@pytest.mark.parametrize("reweight", [False, True])
+def test_attention_edge_means_matches_apply(att_type, reweight):
+    """The block-level pin entry (attention_edge_means_pallas) must equal
+    the per-edge XLA apply's head-mean for every covered score type."""
+    from graphax.kernels.pallas_attention import (
+        attention_edge_means_pallas, attention_means_supported,
+    )
+
+    g = make_graph()
+    d = 6
+    cfg = Config(function="transformer", heads=2, attention_dim=8,
+                 hidden_dim=d, attention_type=att_type,
+                 reweight_attention=reweight)
+    assert attention_means_supported(cfg)
+    p = randomized_params(cfg, d)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+
+    got = attention_edge_means_pallas(cfg, p, g.tiles, x,
+                                      int(g.edge_buffer_size),
+                                      edge_weight=g.edge_weight)
+    att, _ = transformer_attention_apply(p, cfg, g, x)
+    want = np.asarray(att.mean(axis=1)) * np.asarray(g.edge_mask)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_attention_edge_means_two_input_form():
+    """Sharded pin form: keys gathered from a separate (extended) source
+    array; cols index x_src."""
+    from graphax.kernels.pallas_attention import attention_edge_means_pallas
+
+    g = make_graph()
+    d = 6
+    cfg = Config(function="transformer", heads=2, attention_dim=8,
+                 hidden_dim=d, attention_type="scaled_dot")
+    p = randomized_params(cfg, d)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+
+    got = attention_edge_means_pallas(cfg, p, g.tiles, x,
+                                      int(g.edge_buffer_size),
+                                      edge_weight=g.edge_weight, x_src=x)
+    att, _ = transformer_attention_apply(p, cfg, g, x)
+    want = np.asarray(att.mean(axis=1)) * np.asarray(g.edge_mask)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
