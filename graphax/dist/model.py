@@ -134,6 +134,11 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
     n_real = int(part.num_nodes)
     heads = cfg.heads
     dist_quantile = make_distributed_quantile(axis_name)
+    # flipped by the first-call memory check when the predicted train-step
+    # HBM peak crosses the device ceiling (read at trace time by
+    # `_integrate`; a fresh jit wrapper then retraces with per-evaluation
+    # rematerialization on)
+    _force_remat = [False]
 
     from graphax.dist.sharded import halo_split_tables
 
@@ -1068,7 +1073,8 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         else:
             res = odeint(lambda t, y: call(pd0, t, y), state0, 0.0,
                          t_end, observer=observer, differentiable=train,
-                         stage_remat=cfg.stage_remat, **common)
+                         stage_remat=cfg.stage_remat or _force_remat[0],
+                         **common)
         return res
 
     # ------------------------------------------------------------------
@@ -1357,10 +1363,68 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
         in_shardings=(rep_sh, rep_sh, g_sh, g_sh, g_sh),
         out_shardings=g_sh)
 
+    # --- auto memory-ceiling handling ---------------------------------
+    # The 16-NFE arxiv-scale attention train step peaks within ~1.4 GiB of
+    # the v5e HBM ceiling; a config a hair larger still COMPILES but
+    # crosses into XLA's silent spill-compression — a measured 58x cliff
+    # (113 s/step vs 1.95 s, SCALING.md r4.2). On the first call, read the
+    # compiled step's memory analysis (AOT lower/compile shares the jit
+    # cache — no extra compile when within budget) and auto-enable
+    # per-evaluation rematerialization when the predicted peak crosses the
+    # ceiling, instead of leaving `Config.stage_remat` a manual escape
+    # hatch.
+    _remat_jit = {"fn": _ts_j, "checked": False}
+
+    def _device_hbm_budget():
+        import os
+
+        env = os.environ.get("GRAPHAX_HBM_BUDGET")
+        if env:                              # override / test hook
+            return int(float(env))
+        try:
+            stats = np.asarray(mesh.devices).reshape(-1)[0].memory_stats()
+            if stats and stats.get("bytes_limit"):
+                return int(stats["bytes_limit"])
+        except Exception:
+            pass
+        if jax.default_backend() == "tpu":
+            return int(15.75 * 2 ** 30)     # v5e HBM
+        return None
+
+    def _check_step_memory(args):
+        _remat_jit["checked"] = True
+        if cfg.stage_remat:
+            return                           # already rematerializing
+        budget = _device_hbm_budget()
+        if not budget:
+            return
+        try:
+            compiled = _ts_j.lower(*args).compile()
+            ma = compiled.memory_analysis()
+            peak = (int(getattr(ma, "temp_size_in_bytes", 0) or 0)
+                    + int(getattr(ma, "argument_size_in_bytes", 0) or 0)
+                    + int(getattr(ma, "output_size_in_bytes", 0) or 0))
+        except Exception:
+            return
+        if peak > 0.95 * budget:
+            print(f"graphax: predicted train-step HBM peak "
+                  f"{peak / 2**30:.2f} GiB > 95% of "
+                  f"{budget / 2**30:.2f} GiB — enabling stage_remat "
+                  f"(per-RHS-evaluation rematerialization) to stay off "
+                  f"the spill cliff")
+            _force_remat[0] = True
+            _remat_jit["fn"] = jax.jit(
+                _train_step_sm,
+                in_shardings=(rep_sh, rep_sh, rep_sh, g_sh, g_sh, g_sh,
+                              g_sh, rep_sh, g_sh),
+                out_shardings=(rep_sh, rep_sh, rep_sh, rep_sh, rep_sh))
+
     def train_step(params, state, opt_state, xs, ys, mask, rng, pos=None):
         pos = zeros_pos if pos is None else pos
-        return _ts_j(params, state, opt_state, xs, pos, ys, mask, rng,
-                     tables)
+        args = (params, state, opt_state, xs, pos, ys, mask, rng, tables)
+        if not _remat_jit["checked"]:
+            _check_step_memory(args)
+        return _remat_jit["fn"](*args)
 
     def eval_accs(params, state, xs, ys, m_tr, m_va, m_te, pos=None):
         pos = zeros_pos if pos is None else pos
@@ -1396,7 +1460,7 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             axis_name=axis_name, nb=nb, ext=ext, p_sh=p_sh, hp=hp,
             pin=_pin_edge_values, integrate=_integrate, cfg=cfg,
             build_tables=_build_tables, set_tables=_set_tables,
-            forward_embed=forward_embed))
+            forward_embed=forward_embed, force_remat=_force_remat))
 
 
 def normalized_partition(cfg, graph, num_shards: int,

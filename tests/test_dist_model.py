@@ -617,3 +617,41 @@ def test_sharded_hub_forward_and_training():
         losses[str(lt)] = ls
     np.testing.assert_allclose(losses["hub"], losses["True"], rtol=2e-4,
                                atol=2e-5)
+
+
+def test_auto_stage_remat_on_memory_ceiling(monkeypatch):
+    """When the compiled train step's predicted HBM peak crosses the
+    device budget, the model auto-enables per-evaluation remat instead of
+    letting XLA silently spill (the measured 58x cliff, SCALING.md r4.2).
+    Simulated here with a tiny GRAPHAX_HBM_BUDGET override."""
+    data = _data(n=64)
+    cfg = Config(block="constant", function="laplacian", hidden_dim=8,
+                 method="euler", step_size=0.5, time=1.0,
+                 input_dropout=0.0, dropout=0.0, lr=0.02, no_early=True)
+    mesh = make_mesh((4,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 4)
+    xs, ys, m_tr, m_va, m_te = _shard_all(data, part)
+
+    monkeypatch.setenv("GRAPHAX_HBM_BUDGET", "1024")    # 1 KiB: always over
+    sh = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                          data.num_classes)
+    params, state = sh.init(jax.random.PRNGKey(0))
+    from graphax.train.optimizers import get_optimizer
+
+    opt_state = get_optimizer(cfg.optimizer, cfg.lr, cfg.decay).init(params)
+    out = sh.train_step(params, state, opt_state, xs, ys, m_tr,
+                        jax.random.PRNGKey(1))
+    assert sh.internals["force_remat"][0] is True
+    assert np.isfinite(float(np.ravel(np.asarray(out[3]))[0]))
+
+    # and with a huge budget the flag stays off
+    monkeypatch.setenv("GRAPHAX_HBM_BUDGET", str(1 << 50))
+    sh2 = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                           data.num_classes)
+    params2, state2 = sh2.init(jax.random.PRNGKey(0))
+    out2 = sh2.train_step(params2, state2, opt_state, xs, ys, m_tr,
+                          jax.random.PRNGKey(1))
+    assert sh2.internals["force_remat"][0] is False
+    np.testing.assert_allclose(
+        float(np.ravel(np.asarray(out[3]))[0]),
+        float(np.ravel(np.asarray(out2[3]))[0]), rtol=1e-5)

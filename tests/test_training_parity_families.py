@@ -155,6 +155,13 @@ class FamilyTwin:
         ap = params["block"]["att_layer"]
         self.qw, self.qb = t(ap["Q"]["w"]), t(ap["Q"]["b"])
         self.kw, self.kb = t(ap["K"]["w"]), t(ap["K"]["b"])
+        self.ov = t(ap["output_var"]) if "output_var" in ap else None
+        self.ls = t(ap["lengthscale"]) if "lengthscale" in ap else None
+        if cfg.batch_norm:
+            self.bn_w = t(params["bn_in"]["scale"])
+            self.bn_b = t(params["bn_in"]["bias"])
+        else:
+            self.bn_w = self.bn_b = None
         self.alpha_raw = t(params["block"]["func"]["alpha_train"])
         self.beta_raw = t(params["block"]["func"]["beta_train"])
         self.cfg, self.n = cfg, n
@@ -163,8 +170,12 @@ class FamilyTwin:
         self.last_ts = []
 
     def parameters(self):
-        return [self.m1w, self.m1b, self.m2w, self.m2b, self.qw, self.qb,
-                self.kw, self.kb, self.alpha_raw, self.beta_raw]
+        ps = [self.m1w, self.m1b, self.m2w, self.m2b, self.qw, self.qb,
+              self.kw, self.kb, self.alpha_raw, self.beta_raw]
+        for extra in (self.ov, self.ls, self.bn_w, self.bn_b):
+            if extra is not None:
+                ps.append(extra)
+        return ps
 
     def _attention(self, z0):
         cfg, n = self.cfg, self.n
@@ -175,10 +186,31 @@ class FamilyTwin:
             qn = torch.clamp(qs.norm(dim=-1), min=1e-5)
             kn = torch.clamp(kd.norm(dim=-1), min=1e-5)
             scores = (qs * kd).sum(-1) / (qn * kn)
+        elif cfg.attention_type == "pearson":
+            # centered cosine (`src/function_transformer_attention.py:
+            # 248-252`)
+            qc = qs - qs.mean(dim=-1, keepdim=True)
+            kc = kd - kd.mean(dim=-1, keepdim=True)
+            qn = torch.clamp(qc.norm(dim=-1), min=1e-5)
+            kn = torch.clamp(kc.norm(dim=-1), min=1e-5)
+            scores = (qc * kc).sum(-1) / (qn * kn)
+        elif cfg.attention_type == "exp_kernel":
+            # Gaussian kernel with learned output_var/lengthscale
+            # (`src/function_transformer_attention.py:253-259`)
+            sq = ((qs - kd) ** 2).sum(-1)
+            scores = self.ov ** 2 * torch.exp(-sq / (2 * self.ls ** 2))
         else:
             d_k = q.shape[-1]
             scores = (qs * (kd / d_k ** 0.5)).sum(-1)
         idx = self.tr if cfg.attention_norm_idx == 0 else self.tc
+        if cfg.square_plus:
+            # squareplus normalization (`src/utils.py:129-140`): global-max
+            # shift, (x + sqrt(x²+4))/2, segment-sum denominator
+            out = scores - scores.max()
+            out = (out + torch.sqrt(out * out + 4.0)) / 2.0
+            denom = torch.zeros(n, scores.shape[1]) \
+                .index_add_(0, idx, out)
+            return out / (denom[idx] + 1e-16)
         return torch_segment_softmax(scores, idx, n)      # [E, H]
 
     def _edge_values(self, z0):
@@ -201,6 +233,12 @@ class FamilyTwin:
     def forward(self, tx):
         cfg, n = self.cfg, self.n
         z0 = tx @ self.m1w + self.m1b
+        if self.bn_w is not None:
+            # train-mode BatchNorm1d: biased batch stats
+            # (graphax.models.layers.batchnorm_apply)
+            mean = z0.mean(dim=0)
+            var = z0.var(dim=0, unbiased=False)
+            z0 = (z0 - mean) / torch.sqrt(var + 1e-5) * self.bn_w + self.bn_b
         vals = self._edge_values(z0)
         alpha = torch.sigmoid(self.alpha_raw)
         # the reference PINS x0 detached (`src/base_classes.py:53-55`:
@@ -421,5 +459,49 @@ def test_family_arxiv_hard_attention_adjoint():
     _run_family(cfg, epochs=30,
                 make_torch_opt=lambda ps: torch.optim.RMSprop(
                     ps, lr=0.0055, alpha=0.99, eps=1e-8),
+                loss_atol=0.08, acc_tol=0.05, grad_cos_min=0.97,
+                check_steps=True)
+
+
+def test_family_citeseer_exp_kernel():
+    """(d) Citeseer family (`src/best_params.py:2`): attention block +
+    exp_kernel Gaussian attention (learned output_var/lengthscale),
+    squareplus normalization over norm_idx=1, dopri5 non-adjoint, adam
+    with coupled weight decay."""
+    cfg = Config(block="attention", function="laplacian", hidden_dim=12,
+                 heads=2, attention_dim=8, attention_type="exp_kernel",
+                 attention_norm_idx=1, square_plus=True, method="dopri5",
+                 tol_scale=2.9010446330432815, time=3.0, add_source=True,
+                 self_loop_weight=1.0, data_norm="rw", input_dropout=0.0,
+                 dropout=0.0, no_early=True, optimizer="adam",
+                 lr=0.00863585231323069, decay=0.1, max_nfe=3000)
+    _run_family(cfg, epochs=40,
+                make_torch_opt=lambda ps: torch.optim.Adam(
+                    ps, lr=0.00863585231323069, weight_decay=0.1),
+                loss_atol=0.05, acc_tol=0.04, grad_cos_min=0.99,
+                check_steps=True)
+
+
+def test_family_photo_pearson_batchnorm():
+    """(e) Photo family (`src/best_params.py:6`): hard-attention quantile
+    subsampling + pearson (centered-cosine) attention + train-mode
+    batch norm in the encoder + dopri5 forward with rk4 continuous
+    adjoint; adam with coupled weight decay."""
+    cfg = Config(block="hard_attention", function="laplacian",
+                 hidden_dim=12, heads=2, attention_dim=8,
+                 attention_type="pearson", attention_norm_idx=0,
+                 batch_norm=True, method="dopri5",
+                 tol_scale=2086.525473167121, time=3.0,
+                 add_source=False, self_loop_weight=0.05783612585280118,
+                 data_norm="rw", input_dropout=0.0, dropout=0.0,
+                 no_early=True, optimizer="adam", lr=0.005560726683883279,
+                 decay=0.004707800883497945, max_nfe=500,
+                 att_samp_pct=0.9282359956104751, use_flux=False,
+                 adjoint=True, adjoint_method="rk4", adjoint_step_size=0.5,
+                 tol_scale_adjoint=14777.606112557354)
+    _run_family(cfg, epochs=30,
+                make_torch_opt=lambda ps: torch.optim.Adam(
+                    ps, lr=0.005560726683883279,
+                    weight_decay=0.004707800883497945),
                 loss_atol=0.08, acc_tol=0.05, grad_cos_min=0.97,
                 check_steps=True)
