@@ -222,15 +222,29 @@ def measure_peaks(dtype):
             return c * 0.999 + out[:ng] * 1e-6, None
         return jnp.sum(jax.lax.scan(body, s, None, length=4)[0][::512, ::64])
 
+    # narrow random gather: at few-lane widths the gather is ISSUE-RATE
+    # bound, not bytes-bound — the floor for the backward's node-table
+    # gathers (ns per gathered slot, width-independent below ~32 lanes)
+    srcn = jnp.ones((ng, 8), jnp.float32)
+
+    @jax.jit
+    def gathn(s):
+        def body(c, _):
+            out = c[idx]
+            return c * 0.999 + out[:ng] * 1e-6, None
+        return jnp.sum(jax.lax.scan(body, s, None, length=4)[0][::512, :])
+
     rtt = _round_trip()
-    float(stream(big)); float(mm(a)); float(gath(src))
+    float(stream(big)); float(mm(a)); float(gath(src)); float(gathn(srcn))
     t_bw = (min(_time_fetch(stream, big) for _ in range(3)) - rtt) / 8
     t_mm = (min(_time_fetch(mm, a) for _ in range(3)) - rtt) / 8
     t_ga = (min(_time_fetch(gath, src) for _ in range(3)) - rtt) / 4
+    t_gn = (min(_time_fetch(gathn, srcn) for _ in range(3)) - rtt) / 4
     hbm_gbps = 2 * big.size * 4 / max(t_bw, 1e-9) / 1e9
     mxu_tflops = 2 * m ** 3 / max(t_mm, 1e-9) / 1e12
     gather_gbps = mg * dg * jnp.dtype(dtype).itemsize / max(t_ga, 1e-9) / 1e9
-    return hbm_gbps, mxu_tflops, gather_gbps
+    gather_ns_per_slot = max(t_gn, 1e-9) / mg * 1e9
+    return hbm_gbps, mxu_tflops, gather_gbps, gather_ns_per_slot
 
 
 def roofline(t_s, bytes_moved, flops, hbm_gbps, mxu_tflops,
@@ -549,12 +563,13 @@ def main():
 
     # ---- section 5: measured chip peaks + rooflines ---------------------
     def sec_roofline():
-        hbm_gbps, mxu_tflops, gather_gbps = measure_peaks(dtype)
+        hbm_gbps, mxu_tflops, gather_gbps, gather_ns = measure_peaks(dtype)
         bpe = jnp.dtype(dtype).itemsize
         roof = {
             "hbm_gbps_measured": round(hbm_gbps, 1),
             "mxu_tflops_measured": round(mxu_tflops, 1),
             "gather_gbps_measured": round(gather_gbps, 1),
+            "gather_ns_per_slot_measured": round(gather_ns, 2),
         }
 
         # `floor_ms` in the roofline dicts is the idealized bound (real
@@ -611,6 +626,65 @@ def main():
             roof["attention_tiled"] = roofline(
                 arx["attention_rhs_ms"] / 1e3, bytes_att, flops_att,
                 hbm_gbps, mxu_tflops, gbytes_tiled, gather_gbps)
+        ts_r = RESULTS.get("train_step", {})
+        if "train_rhs_fwdbwd_ms_pallas" in ts_r and \
+                "attention_rhs_ms" in arx:
+            # BACKWARD roofline (r4 VERDICT item 2): itemized floor for the
+            # B1/B2/B3 Pallas backward. Three mandatory gathers — the xg
+            # row re-gather (CSE'd with the remat forward's), the cotangent
+            # col gather, and the packed q̃+shift+denom+ρ node-table gather
+            # — each charged at max(bytes/gather_rate, slots·issue_ns);
+            # everything else streams at HBM rate; one-hot tile dots and
+            # the dense param-grad matmuls on the MXU.
+            t_bwd = (ts_r["train_rhs_fwdbwd_ms_pallas"]
+                     - arx["attention_rhs_ms"]) / 1e3
+            tl = g_tiled.tiles
+            tlt = g_tiled.tiles_t
+            cap_r = tl.edge_slot.shape[0] * tl.edge_slot.shape[1]
+            cap_t = tlt.edge_slot.shape[0] * tlt.edge_slot.shape[1]
+            H, A = cfg_att.heads, cfg_att.attention_dim
+            tile_r, tile_tt = tl.tile, tlt.tile
+
+            def g_s(slots, nbytes):
+                return max(nbytes / (gather_gbps * 1e9),
+                           slots * gather_ns * 1e-9)
+
+            g_xg = g_s(cap_r, cap_r * d * bpe)
+            g_gg = g_s(cap_t, cap_t * d * bpe)
+            g_pk = g_s(cap_t, cap_t * (A + 3 * H) * 4)
+            stream_bytes = (
+                cap_r * H * 4                    # scores (saved residual)
+                + 4 * cap_r * H * 4              # ah/da/rho round trips
+                + cap_r * d * bpe                # B2 xg re-read
+                + n * A * 4                      # dq out
+                + 2 * cap_t * (A + 3 * H) * 4    # packed-table round trip
+                + cap_t * d * bpe                # gg re-read in B3
+                + 2 * n * (A + d) * bpe          # k/x transpose tiles
+                + n * (A + d) * 4                # dk + dx_val out
+                + 2 * n * d * 4)                 # dense matmul operands
+            mxu_flops = (
+                2 * cap_r * (tile_r * (d + A + 3 * H) + A * d)
+                + 2 * cap_t * tile_tt * (2 * A + d)
+                + 6 * n * d * A)                 # k proj + dqw/dkw + dx
+            st = stream_bytes / (hbm_gbps * 1e9)
+            n_blocks_bwd = 2 * tl.edge_slot.shape[0] + tlt.edge_slot.shape[0]
+            bo = n_blocks_bwd * BLOCK_US
+            mx = mxu_flops / (mxu_tflops * 1e12)
+            total = g_xg + g_gg + g_pk + st + bo + mx
+            roof["attention_bwd"] = {
+                "measured_ms": round(t_bwd * 1e3, 3),
+                "floor_ms": round(total * 1e3, 3),
+                "headroom_x": round(t_bwd / max(total, 1e-12), 2),
+                "explained": {
+                    "gather_xg_ms": round(g_xg * 1e3, 3),
+                    "gather_cotangent_ms": round(g_gg * 1e3, 3),
+                    "gather_packed_tables_ms": round(g_pk * 1e3, 3),
+                    "stream_ms": round(st * 1e3, 3),
+                    "block_overhead_ms": round(bo * 1e3, 3),
+                    "mxu_ms": round(mx * 1e3, 3),
+                    "explained_ms": round(total * 1e3, 3),
+                },
+            }
         if win_state:
             # windowed per NFE: dense blocks T·tile·W, slab reads ≤ T·W·D,
             # out N·D f32 + residual gather (granule-bound part split out)

@@ -684,13 +684,18 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
     def _win_prepare(wv, tbl):
         """Once per forward: densify the in-window edge values (custom-vjp
         Pallas kernel / jnp twin) and split the blocks by window locality
-        so the per-NFE local pass has no data dependency on the halo."""
+        so the per-NFE local pass has no data dependency on the halo.
+        Single-shard meshes skip the split — the halo pass would be an
+        all-zero second sweep of the full tile grid (the r4 residue that
+        kept sharded windowed behind plain tiles at 1 shard)."""
         from graphax.kernels.pallas_windows import densify_windows
 
         win_wb = jnp.where(tbl["wbt_slot_mask"],
                            wv[tbl["wbt_edge_slot"]], 0)
         dense = densify_windows(win_wb, _win_view(tbl), vma=win_vma,
                                 use_pallas=win_pallas)
+        if p_sh == 1:
+            return dense, None, tbl["wbt_tile_win"], wv
         loc = tbl["wbt_loc_tile"]
         dense_loc = dense * loc[:, None, None].astype(dense.dtype)
         dense_hal = dense * (~loc)[:, None, None].astype(dense.dtype)
@@ -744,12 +749,13 @@ def make_sharded_gnn(mesh: Mesh, part: EdgePartition, cfg,
             vma=win_vma, use_pallas=win_pallas)
         halo = recv.reshape(p_sh * hp, d)[tbl["halo_gather"]]
         x_ext = jnp.concatenate([z, halo], axis=0)
-        out = out + win_matmul(
-            dense_hal, x_ext, tbl["wbt_tile_win"],
-            num_tiles=wc["num_tiles"], tile=wc["tile"],
-            window=wc["window"], num_windows=wc["num_windows"],
-            num_nodes=nb, num_src=ext, vma=win_vma,
-            use_pallas=win_pallas)
+        if dense_hal is not None:
+            out = out + win_matmul(
+                dense_hal, x_ext, tbl["wbt_tile_win"],
+                num_tiles=wc["num_tiles"], tile=wc["tile"],
+                window=wc["window"], num_windows=wc["num_windows"],
+                num_nodes=nb, num_src=ext, vma=win_vma,
+                use_pallas=win_pallas)
         out = out + _win_res_cv(wv, x_ext, tbl)
         return out.astype(z.dtype)
 

@@ -1232,6 +1232,12 @@ def _make_fused(cfg, num_tiles, tile, block_edges, num_nodes, t_shape=None,
         # transpose-side pass (B3): dk and dx_val in one kernel. Per-edge
         # data comes from small node-table gathers at row_e = tt_col —
         # no cross-layout slot permutation (which profiled at ~110 ms).
+        # Keep the five gathers SEPARATE: packing the latency-bound tables
+        # was measured twice and loses both times — r3 (two wide packs:
+        # 65.8 vs 59.7 ms) and r5 (q̃+shift+denom+ρ as one f32 gather:
+        # 84.3 ms; shift+denom+ρ only: 62.6 ms; unpacked: 60.0 ms,
+        # scripts/bench_train_rhs.py). Independent narrow gathers overlap
+        # each other's issue latency; any pack serializes it.
         qb16 = q.astype(x.dtype)
         k = (x_src @ wk + att_params["K"]["b"].astype(x.dtype))
         qg = qb16[tt_col]                                  # [Bt, Ebt, A]

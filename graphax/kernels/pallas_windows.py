@@ -211,6 +211,85 @@ def _win_matmul_call(dense, slab, tile_win, vma=None):
     )(tile_win, dense, slab)
 
 
+def _win_bwd_dense_kernel(winid_ref, g_ref, slab_ref, o_ref):
+    """d_dense[t] = g[t] @ slab[tile_win[t]]^T — same streaming structure
+    as the forward (slab block by scalar prefetch), transposed contraction.
+    Replaces the autodiff path's [T, W, D] per-tile slab materialization."""
+    o_ref[0] = jax.lax.dot_general(
+        g_ref[0], slab_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _win_bwd_dense_call(g_tiles, slab, tile_win, vma=None):
+    t, tile, d = g_tiles.shape
+    wn, w, _ = slab.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda i, wi: (i, 0, 0)),
+            pl.BlockSpec((1, w, d), lambda i, wi: (wi[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, w), lambda i, wi: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        _win_bwd_dense_kernel,
+        grid_spec=grid_spec,
+        out_shape=_sds((t, tile, w), jnp.float32, vma=vma),
+        interpret=_interpret(),
+    )(tile_win, g_tiles, slab)
+
+
+def _win_bwd_slab_kernel(order_ref, winof_ref, first_ref, dense_ref, g_ref,
+                         o_ref):
+    """d_slab[win] = Σ_{t: tile_win[t]=win} dense[t]^T @ g[t], visited in
+    window-sorted tile order so same-window accumulation happens on a
+    RESIDENT output block (first-flag init). Replaces autodiff's [T, W, D]
+    d_per_tile materialization + E-sized segment_sum."""
+    i = pl.program_id(0)
+    part = jax.lax.dot_general(                        # contract tile rows
+        dense_ref[0], g_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [W, D]
+
+    @pl.when(first_ref[i] == 1)
+    def _init():
+        o_ref[0] = part
+
+    @pl.when(first_ref[i] == 0)
+    def _acc():
+        o_ref[0] += part
+
+
+def _win_bwd_slab_call(dense, g_tiles, tile_win, num_windows, vma=None):
+    t, tile, w = dense.shape
+    d = g_tiles.shape[-1]
+    order = jnp.argsort(tile_win)
+    winof = tile_win[order]
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (winof[1:] != winof[:-1]).astype(jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, tile, w), lambda i, o, wi, f: (o[i], 0, 0)),
+            pl.BlockSpec((1, tile, d), lambda i, o, wi, f: (o[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, w, d), lambda i, o, wi, f: (wi[i], 0, 0)),
+    )
+    out = pl.pallas_call(
+        _win_bwd_slab_kernel,
+        grid_spec=grid_spec,
+        out_shape=_sds((num_windows, w, d), jnp.float32, vma=vma),
+        interpret=_interpret(),
+    )(order, winof, first, dense, g_tiles)
+    # windows no tile maps to keep whatever was in the buffer — zero them
+    present = jax.ops.segment_sum(
+        jnp.ones_like(tile_win, jnp.float32), tile_win,
+        num_segments=num_windows) > 0
+    return jnp.where(present[:, None, None], out, 0.0)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_win_matmul(num_tiles, tile, window, num_windows, num_nodes,
                      vma=None, use_pallas=True, num_src=None):
@@ -243,14 +322,24 @@ def _make_win_matmul(num_tiles, tile, window, num_windows, num_nodes,
         gp = jnp.pad(g, ((0, num_tiles * tile - num_nodes), (0, 0))) \
             .reshape(num_tiles, tile, -1).astype(x.dtype)
         slab = _slab(x, num_windows, window)
-        per_tile = jnp.take(slab, tile_win, axis=0)        # bwd-only gather
-        d_dense = jnp.einsum("trd,twd->trw", gp, per_tile,
-                             preferred_element_type=jnp.float32) \
-            .astype(dense.dtype)
-        d_per_tile = jnp.einsum("trw,trd->twd", dense.astype(x.dtype), gp,
-                                preferred_element_type=jnp.float32)
-        d_slab = jax.ops.segment_sum(d_per_tile, tile_win,
-                                     num_segments=num_windows)
+        if use_pallas:
+            # streaming kernels: no [T, W, D] per-tile slab / cotangent
+            # materialization (the autodiff transposes were the measured
+            # residue keeping the sharded windowed path behind plain
+            # tiles — SCALING.md r4.2)
+            d_dense = _win_bwd_dense_call(gp, slab, tile_win, vma=vma) \
+                .astype(dense.dtype)
+            d_slab = _win_bwd_slab_call(dense.astype(x.dtype), gp,
+                                        tile_win, num_windows, vma=vma)
+        else:
+            per_tile = jnp.take(slab, tile_win, axis=0)    # bwd-only gather
+            d_dense = jnp.einsum("trd,twd->trw", gp, per_tile,
+                                 preferred_element_type=jnp.float32) \
+                .astype(dense.dtype)
+            d_per_tile = jnp.einsum("trw,trd->twd", dense.astype(x.dtype),
+                                    gp, preferred_element_type=jnp.float32)
+            d_slab = jax.ops.segment_sum(d_per_tile, tile_win,
+                                         num_segments=num_windows)
         dx = d_slab.reshape(num_windows * window, -1)[:num_src] \
             .astype(x.dtype)
         return d_dense, dx, _f0(tile_win)

@@ -111,16 +111,23 @@ def measure(function: str, n=169_343, d=162, avg_deg=14, steps=2,
         times.append(time.time() - t0)
     train_ms = min(times) * 1e3
 
-    # eval forward (same methodology as the r3 "eval-forward 3.39 s" row)
+    # eval forward. Sync via an on-device scalar sum — fetching the full
+    # [P, Nb, C] logits through the axon tunnel costs ~610 ms for 27 MB
+    # (measured r5, scripts/ isolate experiment: same forward 355.8 ms with
+    # a scalar output vs 964.6 ms with the logits fetch), which silently
+    # dominated the r3/r4 "eval-forward" rows.
+    sum_logits = jax.jit(lambda l: jnp.sum(l.astype(jnp.float32)))
+
+    def eval_once():
+        return float(sum_logits(sharded.forward_logits(params, state, xs)))
+
     t0 = time.time()
-    logits = sharded.forward_logits(params, state, xs)
-    _ = float(np.asarray(logits).sum())
+    eval_once()
     eval_compile_s = time.time() - t0
     ev = []
     for _ in range(steps):
         t0 = time.time()
-        logits = sharded.forward_logits(params, state, xs)
-        _ = float(np.asarray(logits).sum())
+        eval_once()
         ev.append(time.time() - t0)
     eval_ms = min(ev) * 1e3
     nfe_v = int(np.ravel(np.asarray(nfe))[0])
@@ -144,9 +151,13 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "transformer"
     if which == "windowed":
         # laplacian per-NFE SpMM as block-dense window matmuls on a
-        # community-ordered graph (the windowed strategy's precondition)
-        print(json.dumps([measure("laplacian", local_tiles="windowed",
-                                  kind="sbm_ordered")], indent=1))
+        # community-ordered graph (the windowed strategy's precondition),
+        # vs the plain tiled local compute on the SAME graph
+        print(json.dumps([
+            measure("laplacian", local_tiles="windowed",
+                    kind="sbm_ordered"),
+            measure("laplacian", local_tiles="auto", kind="sbm_ordered"),
+        ], indent=1))
         raise SystemExit(0)
     fns = ("transformer", "laplacian") if which == "both" else (which,)
     out = [measure(f) for f in fns]

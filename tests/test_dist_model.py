@@ -655,3 +655,33 @@ def test_auto_stage_remat_on_memory_ceiling(monkeypatch):
     np.testing.assert_allclose(
         float(np.ravel(np.asarray(out[3]))[0]),
         float(np.ravel(np.asarray(out2[3]))[0]), rtol=1e-5)
+
+
+def test_sharded_windowed_single_shard_single_pass():
+    """p_sh == 1 skips the halo window pass entirely (the dense split
+    would be an all-zero second sweep) — losses must still match the
+    tiled local compute."""
+    cfg = CFGS["hard_attention_rk4"]
+    data = _data(n=64)
+    trainer = Trainer(cfg, data)
+    st = trainer.init_state(seed=0)
+    mesh = make_mesh((1,), ("graph",))
+    part = normalized_partition(cfg, data.graph, 1)
+    xs, ys, m_tr, *_ = _shard_all(data, part)
+
+    losses = {}
+    for lt in (True, "windowed"):
+        sharded = make_sharded_gnn(mesh, part, cfg, data.num_features,
+                                   data.num_classes, local_tiles=lt,
+                                   window=64)
+        params, mstate = st.params, st.model_state
+        opt_state = trainer.tx.init(params)
+        ls = []
+        for i in range(2):
+            params, mstate, opt_state, loss, _ = sharded.train_step(
+                params, mstate, opt_state, xs, ys, m_tr,
+                jax.random.PRNGKey(5))
+            ls.append(float(np.ravel(np.asarray(loss))[0]))
+        losses[lt] = ls
+    np.testing.assert_allclose(losses["windowed"], losses[True],
+                               rtol=2e-4, atol=2e-5)

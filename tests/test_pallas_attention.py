@@ -487,3 +487,37 @@ def test_attention_edge_means_two_input_form():
     att, _ = transformer_attention_apply(p, cfg, g, x)
     want = np.asarray(att.mean(axis=1)) * np.asarray(g.edge_mask)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_backward_wide_attention_dim():
+    """attention_dim > 64 routes B3's node-table pack through the split
+    branch (separate bf16 q̃ gather + packed narrow tables); gradients must
+    still replay the XLA path."""
+    from graphax.kernels.pallas_attention import pallas_bwd_supported
+
+    g = make_graph(seed=26)
+    d = 6
+    cfg = Config(function="transformer", heads=2, attention_dim=128,
+                 hidden_dim=d, attention_type="scaled_dot")
+    assert pallas_bwd_supported(cfg)
+    p = randomized_params(cfg, d, seed=27)
+    rng = np.random.RandomState(28)
+    x = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+    probe = jnp.asarray(rng.randn(g.num_nodes, d), jnp.float32)
+
+    def loss_pl(p, x):
+        return jnp.sum(fused_attention_ax_pallas(
+            cfg, p, g.tiles, x, tiles_t=g.tiles_t) * probe)
+
+    def loss_xla(p, x):
+        return jnp.sum(fused_attention_ax(cfg, p, g.tiles, x) * probe)
+
+    gp, gxx = jax.grad(loss_pl, argnums=(0, 1))(p, x)
+    wp, wxx = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(gxx), np.asarray(wxx),
+                               rtol=2e-4, atol=2e-5)
+    for name in ("Q", "K"):
+        for leaf in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(gp[name][leaf]), np.asarray(wp[name][leaf]),
+                rtol=2e-4, atol=2e-5)
