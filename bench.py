@@ -651,7 +651,11 @@ def main():
 
             g_xg = g_s(cap_r, cap_r * d * bpe)
             g_gg = g_s(cap_t, cap_t * d * bpe)
-            g_pk = g_s(cap_t, cap_t * (A + 3 * H) * 4)
+            # B3's q̃ + shift/denom/ρ node-table gathers, charged at the
+            # PERFECT-OVERLAP optimum (total bytes + one issue floor) —
+            # they are kept separate because packing serializes the
+            # latency they otherwise hide (measured negative, r3 + r5)
+            g_pk = g_s(cap_t, cap_t * (A * bpe + 3 * H * 4))
             stream_bytes = (
                 cap_r * H * 4                    # scores (saved residual)
                 + 4 * cap_r * H * 4              # ah/da/rho round trips
@@ -678,7 +682,7 @@ def main():
                 "explained": {
                     "gather_xg_ms": round(g_xg * 1e3, 3),
                     "gather_cotangent_ms": round(g_gg * 1e3, 3),
-                    "gather_packed_tables_ms": round(g_pk * 1e3, 3),
+                    "gather_node_tables_ms": round(g_pk * 1e3, 3),
                     "stream_ms": round(st * 1e3, 3),
                     "block_overhead_ms": round(bo * 1e3, 3),
                     "mxu_ms": round(mx * 1e3, 3),
