@@ -35,7 +35,12 @@ def normalize_graph(cfg, graph: Graph, double_self_loops: bool = True) -> Graph:
     normalizing (`:84-86` calls `add_remaining_self_loops` post-norm) — that
     is the runnable behavior, reproduced here when ``double_self_loops``;
     pass False for the textbook normalized operator.
+
+    ``graph.pre_normalized`` short-circuits: the Trainer hoists this to
+    init/rewire time (weights are static between topology changes).
     """
+    if getattr(graph, "pre_normalized", False):
+        return graph
     mask = graph.edge_mask
     if cfg.data_norm == "rw":
         w = rw_norm_weights(graph.row, graph.col, graph.edge_weight,

@@ -76,6 +76,15 @@ class Graph:
     # (block-dense in-window blocks + gather residual)
     strategy: str = dataclasses.field(default="edge",
                                       metadata=dict(static=True))
+    # True when the per-forward weight normalization (`reset_graph_data`,
+    # `src/base_classes.py:70-90`) has already been applied host-side:
+    # `blocks.common.normalize_graph` then returns the graph unchanged.
+    # The weights are static through training (topology only changes at
+    # rewiring, which re-normalizes), so Trainer hoists the normalization
+    # out of the solve — the same hoist the sharded model does at
+    # partition time. Measured: 31 ms per forward at ogbn-arxiv scale.
+    pre_normalized: bool = dataclasses.field(default=False,
+                                             metadata=dict(static=True))
 
     @property
     def edge_buffer_size(self) -> int:

@@ -89,6 +89,18 @@ class Trainer:
 
             data = community_reorder(data, window=cfg.community_window,
                                      min_in_window_frac=0.35)
+        # hoist the per-forward weight normalization (`reset_graph_data`)
+        # to init time: weights are static between topology changes, and
+        # at ogbn-arxiv scale the in-solve normalization costs 31 ms per
+        # forward (the sharded model hoists identically at partition time;
+        # rewiring re-normalizes in _swap_graph)
+        import dataclasses as _dc
+
+        from graphax.blocks.common import normalize_graph
+
+        data = _dc.replace(
+            data, graph=_dc.replace(normalize_graph(cfg, data.graph),
+                                    pre_normalized=True))
         self.data = data
         # model selection mirrors `run_GNN.py:232-235`: the KNN-rewiring /
         # fa-layer variant when those flags are set, plain GNN otherwise
@@ -224,6 +236,11 @@ class Trainer:
     def _swap_graph(self, new_graph):
         import dataclasses
 
+        from graphax.blocks.common import normalize_graph
+
+        # re-apply the hoisted normalization for the new topology
+        new_graph = dataclasses.replace(
+            normalize_graph(self.cfg, new_graph), pre_normalized=True)
         self.data = dataclasses.replace(self.data, graph=new_graph)
         self._train_step = jax.jit(self._train_step_impl) if self._jit \
             else self._train_step_impl
