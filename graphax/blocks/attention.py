@@ -51,7 +51,7 @@ def make_attention_block(cfg, in_dim: int) -> ODEBlock:
             mean_att = attention_edge_means(params["att_layer"], cfg, g, x,
                                             differentiable=train, y=y)
         fstate = make_fstate(g, x, attention=mean_att, y=y,
-                             train=train)
+                             train=train, cfg=cfg)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)
 

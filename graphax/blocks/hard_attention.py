@@ -107,7 +107,8 @@ def make_hard_attention_block(cfg, in_dim: int) -> ODEBlock:
             edge_vals = renormalise(g, mean_att, keep)
         else:
             edge_vals = jnp.where(g.edge_mask, mean_att, 0.0)
-        fstate = make_fstate(g, x, attention=edge_vals, y=y, train=train)
+        fstate = make_fstate(g, x, attention=edge_vals, y=y, train=train,
+                             cfg=cfg)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)
 

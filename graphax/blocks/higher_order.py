@@ -34,7 +34,7 @@ def make_higher_order_block(cfg, in_dim: int, order: int = 2) -> ODEBlock:
     def forward(params, graph, x, *, train: bool, y=None, t1=None,
                 observer=None, max_steps=None) -> BlockOutput:
         g = normalize_graph(cfg, graph)
-        fstate = make_fstate(g, x, y=y, train=train)
+        fstate = make_fstate(g, x, y=y, train=train, cfg=cfg)
 
         def aug_rhs(p, fs, t, state):
             x0, *vs = state

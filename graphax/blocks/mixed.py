@@ -43,7 +43,8 @@ def make_mixed_block(cfg, in_dim: int) -> ODEBlock:
         # see blocks/attention.py)
         att = mixed_attention(params, g, x, differentiable=train) \
             if cfg.function == "laplacian" else None
-        fstate = make_fstate(g, x, attention=att, train=train, y=y)
+        fstate = make_fstate(g, x, attention=att, train=train, y=y,
+                             cfg=cfg)
         return integrate(cfg_noreg, func, params["func"], fstate, x,
                          train=train, t1=t1, observer=observer,
                          max_steps=max_steps)

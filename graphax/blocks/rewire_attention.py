@@ -118,7 +118,7 @@ def make_rewire_attention_block(cfg, in_dim: int) -> ODEBlock:
             edge_vals = jnp.where(g.edge_mask, att, 0.0)
             g_run = g
         fstate = make_fstate(g_run, x, attention=edge_vals, y=y,
-                              train=train)
+                              train=train, cfg=cfg)
         return integrate(cfg, func, params["func"], fstate, x, train=train,
                          t1=t1, observer=observer, max_steps=max_steps)
 

@@ -130,18 +130,20 @@ def main(quick=False):
 
     single = make_gnn(cfg, d, 40)
     sp, sstate = single.init(jax.random.PRNGKey(0))
-    fwd = jax.jit(functools.partial(single.apply, train=False))
+    # scalar output: fetching the [N, 40] logits through the tunnel costs
+    # ~610 ms and dominates otherwise (SCALING.md r5)
+    fwd = jax.jit(lambda gg, x: jnp.sum(
+        single.apply(sp, sstate, gg, x, train=False)[0]
+        .astype(jnp.float32)))
 
     t0 = time.perf_counter()
-    out = fwd(sp, sstate, g_tiled, x1)
-    _ = float(np.asarray(out[0]).astype(np.float32).sum())
+    _ = float(fwd(g_tiled, x1))
     print(f"   (single fwd compile {time.perf_counter()-t0:.1f}s)",
           flush=True)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = fwd(sp, sstate, g_tiled, x1)
-        _ = float(np.asarray(out[0]).astype(np.float32).sum())
+        _ = float(fwd(g_tiled, x1))
         ts.append(time.perf_counter() - t0)
     nfe1 = 16
     t2 = min(ts)
@@ -165,9 +167,13 @@ def main(quick=False):
     rep_sh = NamedSharding(mesh, P())
     g_sh = NamedSharding(mesh, gspec)
 
+    # Cases 3/4 return SCALARS (psum'd sums): fetching the full [P, Nb, D]
+    # state through the axon tunnel costs ~186 ms/call and swamped the
+    # r5-first-cut measurements (see SCALING.md r5).
+
     # ---- 3. x_ext alone -------------------------------------------------
     @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(gspec, tspec), out_specs=gspec)
+                       in_specs=(gspec, tspec), out_specs=P())
     def xext_chain(xs_, tbl):
         tl = {k: v[0] for k, v in tbl.items()}
         z0 = xs_[0].astype(dtype)
@@ -177,12 +183,13 @@ def main(quick=False):
             return (z * 0.99 + xe[:nb] * 0.01).astype(z.dtype), None
 
         z, _ = lax.scan(body, z0, None, length=8)
-        return z[None]
+        return jax.lax.psum(jnp.sum(z.astype(jnp.float32)), axis)
 
-    xc = jax.jit(xext_chain, in_shardings=(g_sh, g_sh), out_shardings=g_sh)
+    xc = jax.jit(xext_chain, in_shardings=(g_sh, g_sh),
+                 out_shardings=rep_sh)
 
     def run3():
-        return float(np.asarray(xc(xs, tables)).astype(np.float32).sum())
+        return float(xc(xs, tables))
 
     run3(); run3()
     rtt = _round_trip()
@@ -192,7 +199,7 @@ def main(quick=False):
 
     # ---- 4. sharded RHS isolated ---------------------------------------
     @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(P(), gspec, tspec), out_specs=gspec)
+                       in_specs=(P(), gspec, tspec), out_specs=P())
     def rhs_chain(p, xs_, tbl):
         p = ensure_varying_tree(p, axis)
         tl = {k: v[0] for k, v in tbl.items()}
@@ -205,14 +212,13 @@ def main(quick=False):
             return (z * 0.99 + dz * 0.01).astype(z.dtype), None
 
         z, _ = lax.scan(body, z0, None, length=8)
-        return z[None]
+        return jax.lax.psum(jnp.sum(z.astype(jnp.float32)), axis)
 
     rc = jax.jit(rhs_chain, in_shardings=(rep_sh, g_sh, g_sh),
-                 out_shardings=g_sh)
+                 out_shardings=rep_sh)
 
     def run4():
-        return float(np.asarray(rc(params, xs, tables))
-                     .astype(np.float32).sum())
+        return float(rc(params, xs, tables))
 
     run4(); run4()
     t4 = (min(_once(lambda: jnp.asarray(run4())) for _ in range(3)) - rtt) / 8
@@ -221,17 +227,20 @@ def main(quick=False):
           f"(wrapper overhead vs single RHS: {(t4-t1)*1e3:+.2f} ms)",
           flush=True)
 
-    # ---- 5. sharded full eval forward ----------------------------------
+    # ---- 5. sharded full eval forward (scalar sync) --------------------
+    sum_l = jax.jit(lambda l: jnp.sum(l.astype(jnp.float32)))
+
+    def run5():
+        return float(sum_l(sh.forward_logits(params, state, xs)))
+
     t0 = time.perf_counter()
-    lg = sh.forward_logits(params, state, xs)
-    _ = float(np.asarray(lg).astype(np.float32).sum())
+    run5()
     print(f"   (sharded fwd compile {time.perf_counter()-t0:.1f}s)",
           flush=True)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        lg = sh.forward_logits(params, state, xs)
-        _ = float(np.asarray(lg).astype(np.float32).sum())
+        run5()
         ts.append(time.perf_counter() - t0)
     t5 = min(ts)
     res["shard_eval_ms_per_nfe"] = round(t5 * 1e3 / nfe1, 2)
