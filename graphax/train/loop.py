@@ -76,9 +76,21 @@ class TrainState(NamedTuple):
 
 
 class Trainer:
-    """Stateful convenience wrapper around the pure jitted step functions."""
+    """Stateful convenience wrapper around the pure jitted step functions.
 
-    def __init__(self, cfg, data: GraphData, jit: bool = True):
+    ``split_step``: compile the train step as THREE jits (encoder forward →
+    solve+decode gradient with the encoder output as an ARGUMENT → encoder
+    backward) instead of one. Mathematically identical (hand-chained
+    cotangents; pinned by ``test_train.py::test_split_step_matches_fused``)
+    but it reliably lands the fast compiler schedule on the axon TPU
+    backend: the single fused jit deterministically compiles into a ~2.2x
+    slower program whenever the solve's initial state is produced by the
+    encoder inside the same program (bisected in SCALING.md r5 — same
+    flops/bytes per cost_analysis, scheduling only). "auto" = on for TPU
+    training at ≥500k edges; forced True/False otherwise."""
+
+    def __init__(self, cfg, data: GraphData, jit: bool = True,
+                 split_step="auto"):
         self.cfg = cfg
         if cfg.community_window and data.graph.strategy != "windowed":
             # route the solve through the block-dense windowed layout on
@@ -110,8 +122,18 @@ class Trainer:
         self.tx = get_optimizer(cfg.optimizer, cfg.lr, cfg.decay)
         self.fm, self.bm = Meter(), Meter()
         self._jit = jit
+        if split_step == "auto":
+            split_step = (jit and jax.default_backend() == "tpu"
+                          and not cfg.fa_layer
+                          and int(data.graph.num_edges) >= 500_000)
+        self._split = bool(split_step)
         self._train_step = jax.jit(self._train_step_impl) if jit \
             else self._train_step_impl
+        if self._split:
+            self._enc_fwd_j = jax.jit(self._enc_fwd_impl)
+            self._solve_grad_j = jax.jit(self._solve_grad_impl)
+            self._enc_bwd_j = jax.jit(self._enc_bwd_impl)
+            self._apply_updates_j = jax.jit(self._apply_updates_impl)
         self._eval = jax.jit(self._eval_impl) if jit else self._eval_impl
         self._eval_early = jax.jit(self._eval_early_impl) if jit \
             else self._eval_early_impl
@@ -168,6 +190,84 @@ class Trainer:
                                         updates)
         return TrainState(params, model_state, opt_state, rng), loss, aux
 
+    # -- split train step (axon scheduler workaround, SCALING.md r5) ---
+
+    @staticmethod
+    def _step_rngs(rng_model):
+        """Replicate model.apply's rng consumption exactly so split and
+        fused trajectories agree even with dropout on: apply splits
+        rng → (r1, r2); forward_ode splits r1 → (enc_rng, _); decode
+        uses r2."""
+        r1, r2 = jax.random.split(rng_model)
+        enc_rng, _ = jax.random.split(r1)
+        return enc_rng, r2
+
+    def _enc_fwd_impl(self, params, model_state, data, rng_labels, enc_rng):
+        feat, loss_mask = self._prepare_features(rng_labels, True, data)
+        x0, new_state = self.model.encode(params, model_state, feat,
+                                          train=True, rng=enc_rng,
+                                          pos_encoding=data.pos_encoding)
+        return x0, new_state, loss_mask
+
+    def _solve_grad_impl(self, params, data, x0, loss_mask, dec_rng):
+        cfg = self.cfg
+        ode_dtype = jnp.dtype(cfg.dtype)
+
+        def loss_fn(p, z_in):
+            out = self.model.block.forward(p["block"], data.graph,
+                                           z_in.astype(ode_dtype),
+                                           train=True)
+            z = out.z
+            if z.dtype != z_in.dtype:
+                z = z.astype(z_in.dtype)
+            logits = self.model.decode(p, z, train=True, rng=dec_rng)
+            loss = cross_entropy_loss(logits, data.y, loss_mask,
+                                      use_nll=cfg.dataset == "ogbn-arxiv")
+            for rs, (_, coeff) in zip(out.reg_states, cfg.reg_coeffs()):
+                loss = loss + coeff * jnp.mean(rs)
+            return loss, {"nfe": out.result.nfe,
+                          "steps": out.result.steps,
+                          "success": out.result.success}
+
+        (loss, aux), (gp, dx0) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, x0)
+        return loss, aux, gp, dx0
+
+    def _enc_bwd_impl(self, params, model_state, data, rng_labels, enc_rng,
+                      dx0):
+        feat, _ = self._prepare_features(rng_labels, True, data)
+
+        def enc(p):
+            x0, _ = self.model.encode(p, model_state, feat, train=True,
+                                      rng=enc_rng,
+                                      pos_encoding=data.pos_encoding)
+            return x0
+
+        _, vjp = jax.vjp(enc, params)
+        return vjp(dx0)[0]
+
+    def _apply_updates_impl(self, state: TrainState, grads_solve,
+                            grads_enc):
+        grads = jax.tree_util.tree_map(lambda a, b: a + b, grads_solve,
+                                       grads_enc)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        return params, opt_state
+
+    def _train_step_split(self, state: TrainState):
+        rng, rng_labels, rng_model = jax.random.split(state.rng, 3)
+        enc_rng, dec_rng = self._step_rngs(rng_model)
+        x0, model_state, loss_mask = self._enc_fwd_j(
+            state.params, state.model_state, self.data, rng_labels, enc_rng)
+        loss, aux, gp, dx0 = self._solve_grad_j(
+            state.params, self.data, x0, loss_mask, dec_rng)
+        genc = self._enc_bwd_j(state.params, state.model_state, self.data,
+                               rng_labels, enc_rng, dx0)
+        params, opt_state = self._apply_updates_j(state, gp, genc)
+        return TrainState(params, model_state, opt_state, rng), loss, aux
+
     def _eval_impl(self, params, model_state, data: GraphData):
         feat, _ = self._prepare_features(None, train=False, data=data)
         logits, _, aux = self.model.apply(params, model_state, data.graph,
@@ -191,7 +291,10 @@ class Trainer:
         return fwd_nfe
 
     def train_step(self, state: TrainState):
-        state, loss, aux = self._train_step(state, self.data)
+        if self._split:
+            state, loss, aux = self._train_step_split(state)
+        else:
+            state, loss, aux = self._train_step(state, self.data)
         nfe = int(aux["nfe"])
         loss = float(loss)  # blocks: the adjoint bwd NFE callback has fired
         self.fm.update(nfe)

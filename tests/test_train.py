@@ -143,3 +143,42 @@ def test_fit_checkpoint_resume(tmp_path):
     assert out2["history"][0]["epoch"] == 5
     assert len(out2["history"]) == 2
     assert out2["best"]["val_acc"] >= out1["best"]["val_acc"] - 1e-9
+
+
+def test_split_step_matches_fused():
+    """The 3-jit split train step (encoder fwd -> solve grad with x0 as an
+    argument -> encoder bwd; the axon scheduler workaround, SCALING.md r5)
+    must produce the SAME losses and parameters as the fused step — with
+    dropout ON (rng consumption replicated), batch norm state threading,
+    and a regularizer term."""
+    import jax
+    import numpy as np
+
+    from graphax import Config
+    from graphax.data import make_sbm_dataset
+    from graphax.train import Trainer
+
+    data = make_sbm_dataset(num_nodes=48, num_classes=3, num_features=6,
+                            p_in=0.2, p_out=0.02, seed=4)
+    cfg = Config(block="attention", function="laplacian", hidden_dim=8,
+                 heads=2, attention_dim=8, method="rk4", step_size=0.5,
+                 time=1.0, add_source=True, self_loop_weight=1.0,
+                 input_dropout=0.2, dropout=0.3, batch_norm=True,
+                 kinetic_energy=0.01, lr=0.02, no_early=True)
+    tr_f = Trainer(cfg, data, split_step=False)
+    tr_s = Trainer(cfg, data, split_step=True)
+    s_f = tr_f.init_state(0)
+    s_s = tr_s.init_state(0)
+    for _ in range(3):
+        s_f, lf = tr_f.train_step(s_f)
+        s_s, ls = tr_s.train_step(s_s)
+        np.testing.assert_allclose(ls, lf, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_f.params),
+                    jax.tree_util.tree_leaves(s_s.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
+    # model state (bn running stats) matches too
+    for a, b in zip(jax.tree_util.tree_leaves(s_f.model_state),
+                    jax.tree_util.tree_leaves(s_s.model_state)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
