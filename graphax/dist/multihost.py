@@ -72,11 +72,21 @@ def init_distributed(coordinator_address: Optional[str] = None,
         return jax.process_count(), jax.process_index()
     if coord is None and nproc is None:
         # nothing configured: stay single-process unless a launcher JAX
-        # knows about is present (then let auto-detection handle it)
+        # knows about is present (then let auto-detection handle it).
+        # Auto-detection is best-effort: tunneled single-chip environments
+        # can carry a vestigial TPU_WORKER_HOSTNAMES that auto-detection
+        # chokes on — fall back to single-process rather than dying.
         auto = any(k in os.environ for k in (
             "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES"))
         if not auto:
             return 1, 0
+        try:
+            jax.distributed.initialize()
+        except Exception as e:
+            print(f"graphax: multi-process auto-detection failed ({e}); "
+                  f"continuing single-process")
+            return 1, 0
+        return jax.process_count(), jax.process_index()
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=nproc, process_id=pid,
         local_device_ids=local_device_ids)
